@@ -1,0 +1,285 @@
+"""Vectorized FASTQ parse / pack / assemble (numpy host path).
+
+This replaces the reference's per-line heap-allocating reader and
+stringstream writer (/root/reference/src/GZReader.cpp:59-130,
+src/trim_single.cpp:374-427) with whole-buffer vectorized passes:
+
+* newline scan -> line index arrays
+* structural validation as array comparisons (first offender re-checked
+  scalar for the reference's exact error message, src/FQEntry.cpp:53-97)
+* packing seq/qual bytes into fixed-shape ``uint8[B, L]`` arrays (padded,
+  device-ready)
+* output assembly as ONE ragged gather from the source buffer (no
+  per-record string building)
+
+A C++ fast path with the same contracts lives in ``sickle_tpu.io.native``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..constants import Compat, QualityType, quality_min
+from ..oracle import FastqRecord, FastqValidationError, validate_record
+
+NEWLINE = 0x0A
+
+
+def read_fastq_bytes(path) -> bytes:
+    """Read a possibly-gzipped FASTQ file fully into memory.
+
+    Like the reference's gzopen-based reader (src/GZReader.cpp:13), plain
+    and gzip files are handled transparently (magic-byte sniff).
+    """
+    from .compression import open_input
+
+    with open_input(path) as f:
+        return f.read()
+
+
+def _line_index(arr: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Return (starts, ends) int64 arrays of line byte-ranges (\\n excluded).
+
+    A trailing unterminated line counts as a line, matching the reference's
+    gzgets loop and the oracle's split semantics.
+    """
+    nl = np.flatnonzero(arr == NEWLINE)
+    if arr.size and (nl.size == 0 or nl[-1] != arr.size - 1):
+        ends = np.concatenate([nl, [arr.size]])
+    else:
+        ends = nl
+    starts = np.empty_like(ends)
+    if ends.size:
+        starts[0] = 0
+        starts[1:] = ends[:-1] + 1
+    return starts.astype(np.int64), ends.astype(np.int64)
+
+
+@dataclasses.dataclass
+class PackedReads:
+    """A chunk of FASTQ records in fixed-shape, device-ready layout.
+
+    ``seq``/``qual`` are ``uint8[B, L]`` (B >= n_records, rows beyond
+    n_records are zero padding with lengths == 0); all ``*_start``/``*_len``
+    index into ``data`` so output assembly can slice the original bytes
+    without any unpacking.
+    """
+
+    data: np.ndarray  # uint8[n_bytes] original (decompressed) buffer
+    seq: np.ndarray  # uint8[B, L]
+    qual: np.ndarray  # uint8[B, L]
+    lengths: np.ndarray  # int32[B]; 0 for padding rows
+    name_start: np.ndarray  # int64[n_records]
+    name_len: np.ndarray  # int32[n_records]
+    seq_start: np.ndarray  # int64[n_records]
+    comment_start: np.ndarray  # int64[n_records]
+    comment_len: np.ndarray  # int32[n_records]
+    qual_start: np.ndarray  # int64[n_records]
+    positions: np.ndarray  # int32[n_records], 1-based global record index
+    n_records: int
+
+    @property
+    def batch_size(self) -> int:
+        return self.seq.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.seq.shape[1]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _validate(
+    arr: np.ndarray,
+    name_start: np.ndarray,
+    name_len: np.ndarray,
+    seq_len: np.ndarray,
+    qual_len: np.ndarray,
+    all_starts: np.ndarray,
+    all_ends: np.ndarray,
+    positions: np.ndarray,
+) -> None:
+    """Vectorized structural validation (reference src/FQEntry.cpp:53-97).
+
+    Finds the first offending record (input order) and raises with the
+    reference's exact message via the scalar oracle validator.
+    """
+    first_byte = arr[np.minimum(name_start, arr.size - 1)] if arr.size else name_start
+    bad = (
+        (name_len <= 1)
+        | (first_byte != ord("@"))
+        | (seq_len < 1)
+        | (qual_len < 1)
+        | (seq_len != qual_len)
+    )
+    if not bad.any():
+        return
+    i = int(np.argmax(bad))
+
+    def line(k: int) -> bytes:
+        return arr[all_starts[4 * i + k] : all_ends[4 * i + k]].tobytes()
+
+    rec = FastqRecord(line(0), line(1), line(2), line(3), int(positions[i]))
+    validate_record(rec)
+    raise FastqValidationError("FASTQ validation failed")  # pragma: no cover
+
+
+def pack_fastq(
+    data,
+    *,
+    start_position: int = 0,
+    l_max: Optional[int] = None,
+    batch_multiple: int = 8,
+    len_multiple: int = 128,
+    validate: bool = True,
+) -> PackedReads:
+    """Parse a FASTQ byte buffer into a :class:`PackedReads`.
+
+    Trailing partial records (< 4 lines) are ignored, as in the reference's
+    4-line batch alignment (src/GZReader.cpp:104-126).  ``start_position``
+    is the number of records already consumed before this buffer (for
+    chunked streaming; positions stay globally 1-based).
+    """
+    arr = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    starts, ends = _line_index(arr)
+    n_lines = starts.size - starts.size % 4
+    n = n_lines // 4
+    starts4 = starts[:n_lines].reshape(n, 4)
+    ends4 = ends[:n_lines].reshape(n, 4)
+    lens4 = (ends4 - starts4).astype(np.int32)
+
+    name_start = starts4[:, 0]
+    name_len = lens4[:, 0]
+    seq_start = starts4[:, 1]
+    seq_len = lens4[:, 1]
+    comment_start = starts4[:, 2]
+    comment_len = lens4[:, 2]
+    qual_start = starts4[:, 3]
+    qual_len = lens4[:, 3]
+    positions = (start_position + 1 + np.arange(n)).astype(np.int32)
+
+    if validate and n:
+        _validate(
+            arr, name_start, name_len, seq_len, qual_len,
+            starts[:n_lines], ends[:n_lines], positions,
+        )
+
+    max_len = int(seq_len.max()) if n else 1
+    L = _round_up(max(l_max or 0, max_len, 1), len_multiple)
+    B = _round_up(max(n, 1), batch_multiple)
+
+    seq = np.zeros((B, L), dtype=np.uint8)
+    qual = np.zeros((B, L), dtype=np.uint8)
+    lengths = np.zeros(B, dtype=np.int32)
+    if n:
+        lengths[:n] = seq_len
+        lane = np.arange(L, dtype=np.int64)
+        valid = lane[None, :] < seq_len[:, None]
+        np.copyto(
+            seq[:n],
+            arr[np.minimum(seq_start[:, None] + lane[None, :], arr.size - 1)],
+            where=valid,
+        )
+        np.copyto(
+            qual[:n],
+            arr[np.minimum(qual_start[:, None] + lane[None, :], arr.size - 1)],
+            where=valid,
+        )
+
+    return PackedReads(
+        data=arr,
+        seq=seq,
+        qual=qual,
+        lengths=lengths,
+        name_start=name_start,
+        name_len=name_len,
+        seq_start=seq_start,
+        comment_start=comment_start,
+        comment_len=comment_len,
+        qual_start=qual_start,
+        positions=positions,
+        n_records=n,
+    )
+
+
+def _ragged_arange(lens: np.ndarray) -> np.ndarray:
+    """[0..l0), [0..l1), ... concatenated."""
+    cum = np.cumsum(lens)
+    total = int(cum[-1]) if lens.size else 0
+    return np.arange(total, dtype=np.int64) - np.repeat(cum - lens, lens)
+
+
+def assemble_records(
+    src: np.ndarray,
+    *,
+    name_start: np.ndarray,
+    name_len: np.ndarray,
+    seq_start: np.ndarray,
+    comment_start: np.ndarray,
+    comment_len: np.ndarray,
+    qual_start: np.ndarray,
+    five: np.ndarray,
+    three: np.ndarray,
+    compat: Compat = Compat.V133,
+    n_record_mask: Optional[np.ndarray] = None,
+    qualtype: QualityType = QualityType.SANGER,
+) -> bytes:
+    """Emit trimmed FASTQ for the given records, in the given order.
+
+    All index arrays must already be filtered/ordered to the records being
+    written.  Emission format matches the reference writer
+    (src/trim_single.cpp:390-396): ``name\\nseq[five:three]\\ncomment\\n``
+    ``qual[five:three]\\n``; ``compat=V133`` rewrites the comment to a bare
+    ``+`` (upstream behavior).  Rows where ``n_record_mask`` is true are
+    emitted as the pe -M replacement record (seq ``N``, lowest quality
+    char; reference README.md:116-121) and their cuts are ignored.
+
+    Implementation: one flat ragged gather — every output byte's source
+    index is computed vectorized, then a single fancy-index pass builds the
+    buffer.
+    """
+    k = name_start.size
+    if k == 0:
+        return b""
+    # aux bytes appended to the source for constant segments:
+    #   [n] = '\n', [n+1] = '+', [n+2] = 'N', [n+3] = lowest qual char
+    nsrc = src.size
+    aux = np.frombuffer(b"\n+N" + bytes([quality_min(qualtype)]), dtype=np.uint8)
+    full = np.concatenate([src, aux])
+    NL, PLUS, NCHAR, LOWQ = nsrc, nsrc + 1, nsrc + 2, nsrc + 3
+
+    cut_len = (three - five).astype(np.int64)
+    in_starts = np.empty((k, 8), dtype=np.int64)
+    seg_lens = np.empty((k, 8), dtype=np.int64)
+
+    in_starts[:, 0] = name_start
+    seg_lens[:, 0] = name_len
+    in_starts[:, 2] = seq_start + five
+    seg_lens[:, 2] = cut_len
+    if compat == Compat.V133:
+        in_starts[:, 4] = PLUS
+        seg_lens[:, 4] = 1
+    else:
+        in_starts[:, 4] = comment_start
+        seg_lens[:, 4] = comment_len
+    in_starts[:, 6] = qual_start + five
+    seg_lens[:, 6] = cut_len
+    in_starts[:, 1::2] = NL
+    seg_lens[:, 1::2] = 1
+
+    if n_record_mask is not None and n_record_mask.any():
+        m = n_record_mask
+        in_starts[m, 2] = NCHAR
+        seg_lens[m, 2] = 1
+        in_starts[m, 6] = LOWQ
+        seg_lens[m, 6] = 1
+
+    flat_starts = in_starts.reshape(-1)
+    flat_lens = seg_lens.reshape(-1)
+    idx = np.repeat(flat_starts, flat_lens) + _ragged_arange(flat_lens)
+    return full[idx].tobytes()

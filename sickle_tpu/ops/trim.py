@@ -1,0 +1,169 @@
+"""Batched sliding-window trimming — the TPU-native formulation.
+
+This is the vectorized re-derivation of the reference's scalar, branchy
+per-read loop (/root/reference/src/trim.cpp:3-116, spec in SURVEY.md §2.3)
+as masked data-parallel array ops over a padded batch ``[B, L]``:
+
+* rolling window sums     -> cumulative-sum difference ``W[i] = C[i+w]-C[i]``
+* sequential 5'/3' triggers -> masked first-index reductions with an
+  ``i3 >= i5`` ordering constraint (exact: the 5' trigger window satisfies
+  ``W >= t*w`` so the 3' trigger is strictly after it)
+* within-window scans     -> masked first-index over positions ``>= trigger``
+  (exact: an integer window sum ``>= t*w`` / ``< t*w`` guarantees a
+  qualifying element inside that window, so the unbounded scan finds the
+  same index the reference's window-bounded scan does)
+* the double `window_avg >= q` comparison -> integer ``sum >= q*w``
+  (exact: both sides integers, w > 0)
+* `int(0.1*len)` window size -> ``len // 10`` (exact for all len < 1e16:
+  IEEE double 0.1*L never crosses the next integer)
+
+Everything is integer arithmetic on the VPU; no data-dependent shapes, no
+scans — a handful of elementwise passes + one cumsum + first-index
+reductions, which XLA fuses into a few bandwidth-bound kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import Compat, QUALITY_CONSTANTS, QualityType
+
+BIG = jnp.int32(0x3FFFFFFF)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrimParams:
+    """Static trimming configuration (hashable -> jit-static).
+
+    Mirrors the reference CLI options (src/trim_single.cpp:90):
+    -t/-q/-l/-x/-n plus the fork-vs-1.33 compat switch.
+    """
+
+    qualtype: QualityType = QualityType.SANGER
+    qual_threshold: int = 20
+    length_threshold: int = 20
+    no_fiveprime: bool = False
+    trunc_n: bool = False
+    compat: Compat = Compat.V133
+
+
+def _first_index(mask: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Smallest index where mask is True, else BIG."""
+    n = mask.shape[axis]
+    iota = jax.lax.broadcasted_iota(jnp.int32, mask.shape, mask.ndim + axis if axis < 0 else axis)
+    return jnp.min(jnp.where(mask, iota, BIG), axis=axis)
+
+
+def decode_check(qual: jnp.ndarray, lengths: jnp.ndarray, qualtype: QualityType):
+    """Decode raw ASCII qualities and locate range violations.
+
+    Returns ``(q, first_bad)`` where ``q`` is ``int32[B, L]`` decoded
+    quality (junk beyond ``lengths``) and ``first_bad`` is ``int32[B]``:
+    the first 0-based position whose char is outside the encoding's
+    [min, max] (reference src/trim.cpp:121-134), or BIG if none.  The host
+    re-scans the offending record for the exact error message.
+
+    Note: we validate the WHOLE read; the reference only validates chars
+    its scan happens to touch (it breaks at the 3' cut).  Strict validation
+    is deliberate — it is deterministic and order-independent.
+    """
+    offset, qmin, qmax = QUALITY_CONSTANTS[qualtype]
+    raw = qual.astype(jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, qual.shape, 1)
+    in_read = lane < lengths[:, None]
+    bad = in_read & ((raw < qmin) | (raw > qmax))
+    return raw - offset, _first_index(bad)
+
+
+def compute_cuts(
+    seq: jnp.ndarray,  # uint8[B, L] sequence bytes (only read when trunc_n)
+    qual: jnp.ndarray,  # uint8[B, L] raw ASCII quality bytes
+    lengths: jnp.ndarray,  # int32[B]; 0 marks padding rows
+    params: TrimParams,
+):
+    """Compute per-read cutsites.
+
+    Returns ``(five, three, first_bad)`` int32[B] arrays; ``(-1, -1)``
+    means discard (reference cutsites contract, src/sickle.h:93-96).
+    Padding rows (length 0) are always discarded.
+    """
+    B, L = qual.shape
+    t = jnp.int32(params.qual_threshold)
+    lthr = jnp.int32(params.length_threshold)
+    lens = lengths.astype(jnp.int32)
+
+    q, first_bad = decode_check(qual, lens, params.qualtype)
+
+    # window size: int(0.1*len) == len // 10; if 0, whole read (trim.cpp:8,30)
+    w = lens // 10
+    w = jnp.where(w == 0, lens, w)
+    tw = t * w
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    in_read = lane < lens[:, None]
+
+    # rolling sums via cumsum difference: W[i] = C[i+w] - C[i], i in [0, len-w]
+    qv = jnp.where(in_read, q, 0)
+    csum = jnp.cumsum(qv, axis=1)  # C[j] = sum q[0..j]
+    # C0[j] = sum of first j elements (exclusive prefix), j in [0, L]
+    c0 = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), csum], axis=1)
+    iw = jnp.minimum(
+        jax.lax.broadcasted_iota(jnp.int32, (B, L + 1), 1) + w[:, None], L
+    )
+    cw = jnp.take_along_axis(c0, iw, axis=1)
+    W = cw - c0  # W[i] valid for i <= len - w
+
+    ii = jax.lax.broadcasted_iota(jnp.int32, (B, L + 1), 1)
+    i_valid = ii <= (lens - w)[:, None]
+    hi = i_valid & (W >= tw[:, None])
+    lo = i_valid & (W < tw[:, None])
+
+    i5 = _first_index(hi)  # first window with avg >= t
+    found_five = (i5 < BIG) & (lens > 0)
+
+    if params.no_fiveprime:
+        start3 = jnp.zeros_like(i5)
+    else:
+        start3 = i5  # 3' can only trigger once 5' was found (same iteration ok)
+    i3 = _first_index(lo & (ii >= start3[:, None]))
+    three_trig = i3 < BIG
+
+    # 5' cut: first position >= i5 with q >= t (guaranteed inside the window)
+    if params.no_fiveprime:
+        five = jnp.zeros_like(i5)
+    else:
+        five = _first_index(in_read & (q >= t) & (lane >= i5[:, None]))
+        five = jnp.where(found_five, jnp.minimum(five, lens), 0)
+
+    # 3' cut: first position >= i3 with q < t; stays len if never triggered
+    three_hit = _first_index(in_read & (q < t) & (lane >= i3[:, None]))
+    three = jnp.where(three_trig, jnp.minimum(three_hit, lens), lens)
+
+    # -n: truncate to the base BEFORE the first N (upstream semantics;
+    # the fork's npos bug is NOT reproduced — SURVEY.md §2.4.4)
+    if params.trunc_n:
+        up = _first_index(in_read & (seq == ord("N")))
+        low = _first_index(in_read & (seq == ord("n")))
+        if params.compat == Compat.V133:
+            nidx = jnp.where(up < BIG, up, low)  # 'N' first, else 'n'
+        else:
+            nidx = jnp.where(low < BIG, low, up)  # fork order: 'n' first
+        three = jnp.where(nidx < BIG, nidx - 1, three)
+
+    keep = (lens >= lthr) & (three - five >= lthr)
+    if not params.no_fiveprime:
+        keep &= found_five
+    keep &= lens > 0
+
+    five = jnp.where(keep, five, -1)
+    three = jnp.where(keep, three, -1)
+    return five, three, first_bad
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def compute_cuts_jit(seq, qual, lengths, params: TrimParams):
+    return compute_cuts(seq, qual, lengths, params)

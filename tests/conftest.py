@@ -1,19 +1,25 @@
 """Test configuration.
 
-Device-kernel tests run on a virtual 8-device CPU mesh so sharding paths are
-exercised without TPU hardware; set SICKLE_TPU_TEST_REAL_DEVICE=1 to run on
-whatever JAX would pick by default instead.
+Device-kernel tests run on a virtual 8-device CPU mesh so sharding paths
+are exercised without TPU hardware.  The container's axon sitecustomize
+force-registers the TPU backend at interpreter start (and its remote
+compiles take ~60s each), so we must both set XLA_FLAGS before jax import
+AND override jax_platforms after import.  Set SICKLE_TPU_TEST_REAL_DEVICE=1
+to run on whatever JAX would pick by default instead.
 """
 
 import os
 
 if not os.environ.get("SICKLE_TPU_TEST_REAL_DEVICE"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

@@ -1,0 +1,145 @@
+"""Host I/O layer tests: pack/assemble roundtrips, validation parity, gzip."""
+
+import gzip
+import numpy as np
+import pytest
+
+from sickle_tpu import oracle
+from sickle_tpu.constants import Compat, QualityType
+from sickle_tpu.io import assemble_records, pack_fastq, read_fastq_bytes
+from sickle_tpu.io.compression import GzipChunkWriter, open_input
+
+
+def full_passthrough(data: bytes) -> bytes:
+    """Assemble with no trimming; FORK compat keeps comments verbatim."""
+    p = pack_fastq(data)
+    n = p.n_records
+    lens = p.lengths[:n].astype(np.int64)
+    return assemble_records(
+        p.data,
+        name_start=p.name_start,
+        name_len=p.name_len,
+        seq_start=p.seq_start,
+        comment_start=p.comment_start,
+        comment_len=p.comment_len,
+        qual_start=p.qual_start,
+        five=np.zeros(n, np.int64),
+        three=lens,
+        compat=Compat.FORK,
+    )
+
+
+def test_roundtrip_fixture(reference_fixtures):
+    data = (reference_fixtures / "test.fastq").read_bytes()
+    assert full_passthrough(data) == data
+
+
+def test_roundtrip_unterminated_final_line():
+    data = b"@r1\nACGT\n+\nIIII"  # no trailing newline
+    assert full_passthrough(data) == data + b"\n"
+
+
+def test_trailing_partial_record_ignored():
+    data = b"@r1\nACGT\n+\nIIII\n@r2\nACGT\n"
+    p = pack_fastq(data)
+    assert p.n_records == 1
+
+
+def test_pack_matches_scalar_parse(reference_fixtures):
+    data = (reference_fixtures / "test.fastq").read_bytes()
+    p = pack_fastq(data)
+    recs = oracle.parse_fastq_bytes(data)
+    assert p.n_records == len(recs)
+    for i in [0, 1, 1249, 2499]:
+        r = recs[i]
+        L = p.lengths[i]
+        assert p.seq[i, :L].tobytes() == r.seq
+        assert p.qual[i, :L].tobytes() == r.qual
+        arr = p.data
+        assert arr[p.name_start[i] : p.name_start[i] + p.name_len[i]].tobytes() == r.name
+        assert p.positions[i] == r.position
+
+
+@pytest.mark.parametrize(
+    "bad,msg",
+    [
+        (b"@\nACGT\n+\nIIII\n", "Sequence ID is to short"),
+        (b"r1x\nACGT\n+\nIIII\n", "Invalid char at the beggining of ID"),
+        (b"@r1\n\n+\nIIII\n", "Sequence line is empty"),
+        (b"@r1\nACGT\n+\n\n", "Quality line is empty"),
+        (b"@r1\nACGT\n+\nIII\n", "different lengths"),
+    ],
+)
+def test_validation_messages(bad, msg):
+    with pytest.raises(oracle.FastqValidationError) as e:
+        pack_fastq(b"@ok\nACGT\n+\nIIII\n" + bad)
+    assert msg in e.value.message
+
+
+def test_validation_first_offender_position():
+    data = b"@ok\nACGT\n+\nIIII\n@\nAC\n+\nII\n@\nA\n+\nI\n"
+    with pytest.raises(oracle.FastqValidationError) as e:
+        pack_fastq(data)
+    assert "line 4" in e.value.message  # record 2 -> (2*4)-4 = 4
+
+
+def test_comment_rewrite_v133():
+    data = b"@r1\nACGTACGTACGT\n+r1 some comment\nIIIIIIIIIIII\n"
+    p = pack_fastq(data)
+    out = assemble_records(
+        p.data,
+        name_start=p.name_start,
+        name_len=p.name_len,
+        seq_start=p.seq_start,
+        comment_start=p.comment_start,
+        comment_len=p.comment_len,
+        qual_start=p.qual_start,
+        five=np.array([2]),
+        three=np.array([10]),
+        compat=Compat.V133,
+    )
+    assert out == b"@r1\nGTACGTAC\n+\nIIIIIIII\n"
+
+
+def test_n_record_assembly():
+    data = b"@r1\nACGT\n+\nIIII\n@r2\nACGT\n+\nIIII\n"
+    p = pack_fastq(data)
+    out = assemble_records(
+        p.data,
+        name_start=p.name_start,
+        name_len=p.name_len,
+        seq_start=p.seq_start,
+        comment_start=p.comment_start,
+        comment_len=p.comment_len,
+        qual_start=p.qual_start,
+        five=np.array([0, 0]),
+        three=np.array([4, 0]),
+        compat=Compat.V133,
+        n_record_mask=np.array([False, True]),
+        qualtype=QualityType.SANGER,
+    )
+    assert out == b"@r1\nACGT\n+\nIIII\n@r2\nN\n+\n!\n"  # '!' = sanger min 33
+
+
+def test_gzip_roundtrip(tmp_path, reference_fixtures):
+    data = (reference_fixtures / "test.fastq").read_bytes()
+    gz = tmp_path / "in.fastq.gz"
+    gz.write_bytes(gzip.compress(data))
+    assert read_fastq_bytes(gz) == data
+    assert read_fastq_bytes(reference_fixtures / "test.fastq") == data
+
+    # output writer: standard gzip readers must decode our stream exactly
+    out = tmp_path / "out.fastq.gz"
+    w = GzipChunkWriter(out)
+    for i in range(0, len(data), 1 << 16):
+        w.write(data[i : i + (1 << 16)])
+    w.close()
+    assert gzip.decompress(out.read_bytes()) == data
+    with open_input(out) as f:
+        assert f.read() == data
+
+
+def test_empty_input():
+    p = pack_fastq(b"")
+    assert p.n_records == 0
+    assert p.seq.shape[0] >= 1  # padded minimum batch
