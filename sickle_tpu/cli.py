@@ -1,0 +1,543 @@
+"""Drop-in ``sickle se|pe`` command-line interface.
+
+Flag-compatible with the reference CLI (same short/long options, defaults,
+required-argument checks, usage/summary text shapes and exit codes —
+src/sickle.cpp:41-84, src/trim_single.cpp:83-211, src/trim_paired.cpp:109-263),
+with these deliberate differences (SURVEY.md §2.4):
+
+* ``pe -M`` is actually implemented (upstream semantics; the fork exits
+  with usage).
+* pe ``Total input FastQ records`` is correct (the fork reports only the
+  last batch's locals).
+* gzip output works (streamed; the fork's gzprintf misuse emits nothing).
+* output order always equals input order at any parallelism.
+* new flags: ``--compat {1.33,fork}`` (comment-line rewrite + -n N-order;
+  default 1.33), ``--devices N`` (shard batches over N chips),
+  ``--profile DIR`` (jax profiler trace).
+
+``-a/--threads`` and ``-b/--batch`` are accepted for compatibility; batch
+size is record-counted internally (fixed device shapes), derived from -b.
+"""
+
+from __future__ import annotations
+
+import getopt
+import sys
+from typing import List, Optional
+
+from .constants import (
+    AUTHORS,
+    CLI_QUALITY_TYPES,
+    Compat,
+    PROGRAM_NAME,
+    VERSION,
+)
+from .engine import EngineConfig, run_pe, run_se
+from .io.compression import open_input, open_output
+from .oracle import SickleError
+from .ops import TrimParams
+
+DEFAULT_RECORDS_PER_CHUNK = 1 << 16
+
+
+def _msg(debug: bool, text: str) -> None:
+    if debug:
+        print(text)
+
+
+def main_usage(status: int) -> int:
+    sys.stdout.write(
+        f"\nUsage: {PROGRAM_NAME} <command> [options]\n\n"
+        "Command:\n"
+        "pe\tpaired-end sequence trimming\n"
+        "se\tsingle-end sequence trimming\n\n"
+        "--help, display this help and exit\n"
+        "--version, output version information and exit\n\n"
+    )
+    return status
+
+
+def version_text() -> str:
+    return (
+        f"{PROGRAM_NAME} version {VERSION}\n"
+        "Copyright (c) 2011 The Regents of University of California, Davis Campus.\n"
+        f"{PROGRAM_NAME} is free software and comes with ABSOLUTELY NO WARRANTY.\n"
+        "Distributed under the MIT License.\n\n"
+        f"Written by {AUTHORS}"
+        "TPU-native rebuild: sickle-tpu (JAX/XLA/Pallas).\n"
+    )
+
+
+SE_USAGE = f"""
+Usage: {PROGRAM_NAME} se [options] -f <fastq sequence file> -t <quality type> -o <trimmed fastq file>
+
+Options:
+-f, --fastq-file, Input fastq file (required)
+-t, --qual-type, Type of quality values (solexa (CASAVA < 1.3), illumina (CASAVA 1.3 to 1.7), sanger (which is CASAVA >= 1.8)) (required)
+-o, --output-file, Output trimmed fastq file (required)
+-q, --qual-threshold, Threshold for trimming based on average quality in a window. Default 20.
+-l, --length-threshold, Threshold to keep a read based on length after trimming. Default 20.
+-x, --no-fiveprime, Don't do five prime trimming.
+-n, --trunc-n, Truncate sequences at position of first N.
+-g, --gzip-output, Output gzipped files.
+-a, --threads, Number of host worker threads (accepted for compatibility).
+-b, --batch, maximum MB of data to read from the input file at each cycle.
+--compat, Behavior where the fork and sickle 1.33 disagree: '1.33' (default, '+' comment rewrite) or 'fork' (comment verbatim).
+--devices, Number of accelerator chips to shard each batch over. Default: all.
+--profile, Write a JAX profiler trace to the given directory.
+--quiet, Don't print out any trimming information
+--help, display this help and exit
+--version, output version information and exit
+
+"""
+
+PE_USAGE = f"""
+If you have separate files for forward and reverse reads:
+Usage: {PROGRAM_NAME} pe [options] -f <paired-end forward fastq file> -r <paired-end reverse fastq file> -t <quality type> -o <trimmed PE forward file> -p <trimmed PE reverse file> -s <trimmed singles file>
+
+If you have one file with interleaved forward and reverse reads:
+Usage: {PROGRAM_NAME} pe [options] -c <interleaved input file> -t <quality type> -m <interleaved trimmed paired-end output> -s <trimmed singles file>
+
+If you have one file with interleaved reads as input and you want ONLY one interleaved file as output:
+Usage: {PROGRAM_NAME} pe [options] -c <interleaved input file> -t <quality type> -m <interleaved trimmed output>
+
+Options:
+Paired-end separated reads
+--------------------------
+-f, --pe-file1, Input paired-end forward fastq file (Input files must have same number of records)
+-r, --pe-file2, Input paired-end reverse fastq file
+-o, --output-pe1, Output trimmed forward fastq file
+-p, --output-pe2, Output trimmed reverse fastq file. Must use -s option.
+
+Paired-end interleaved reads
+----------------------------
+-c, --pe-interleaved, Combined (interleaved) input paired-end fastq
+-m, --output-interleaved, Output combined (interleaved) paired-end fastq file. Must use -s option.
+-M, --output-n, Output combined (interleaved) file with any discarded read written as a single 'N' record, preserving pairing. Cannot be used with -m or -s.
+--------------
+-t, --qual-type, Type of quality values (solexa (CASAVA < 1.3), illumina (CASAVA 1.3 to 1.7), sanger (which is CASAVA >= 1.8)) (required)
+-s, --output-single, Output trimmed singles fastq file
+-q, --qual-threshold, Threshold for trimming based on average quality in a window. Default 20.
+-l, --length-threshold, Threshold to keep a read based on length after trimming. Default 20.
+-x, --no-fiveprime, Don't do five prime trimming.
+-n, --truncate-n, Truncate sequences at position of first N.
+-a, --threads, Number of host worker threads (accepted for compatibility).
+-b, --batch, maximum MB of data to read from the input file at each cycle.
+--compat, Behavior where the fork and sickle 1.33 disagree: '1.33' (default) or 'fork'.
+--devices, Number of accelerator chips to shard each batch over. Default: all.
+--profile, Write a JAX profiler trace to the given directory.
+-g, --gzip-output, Output gzipped files.
+--quiet, do not output trimming info
+--help, display this help and exit
+--version, output version information and exit
+
+"""
+
+
+def _usage_exit(text: str, status: int, msg: Optional[str] = None) -> int:
+    sys.stderr.write(text)
+    if msg:
+        sys.stderr.write(f"{msg}\n\n")
+    return status
+
+
+def _parse_qualtype(optarg: str):
+    qt = CLI_QUALITY_TYPES.get(optarg)
+    if qt is None:
+        sys.stderr.write(f"Error: Quality type '{optarg}' is not a valid type.\n")
+    return qt
+
+
+def _records_per_chunk(batch_mb: Optional[int]) -> int:
+    """Map the reference's -b (MB per cycle) to a record count.
+
+    Assumes ~256 bytes/record (150bp reads); clamped so device batches stay
+    in a practical range.  The shapes are fixed per run regardless.
+    """
+    if batch_mb is None:
+        return DEFAULT_RECORDS_PER_CHUNK
+    recs = (max(batch_mb, 1) << 20) // 256
+    return max(4096, min(recs, 1 << 18))
+
+
+def _build_cuts_fn(params: TrimParams, devices: Optional[int], rpc: int):
+    """Pick single-device jit or a sharded mesh step; returns (fn, rpc').
+
+    rpc is rounded to a multiple of the mesh size (and 8)."""
+    import jax
+
+    n_avail = len(jax.devices())
+    n = min(devices or n_avail, n_avail)
+    if n <= 1:
+        from .engine.pipeline import default_cuts_fn
+
+        return default_cuts_fn(params), rpc
+    from .parallel import data_mesh, sharded_cuts_fn
+
+    mesh = data_mesh(n)
+    mult = max(n, 8)
+    rpc = -(-rpc // mult) * mult
+    return sharded_cuts_fn(params, mesh), rpc
+
+
+class _Profile:
+    def __init__(self, trace_dir: Optional[str]):
+        self.trace_dir = trace_dir
+
+    def __enter__(self):
+        if self.trace_dir:
+            import jax
+
+            jax.profiler.start_trace(self.trace_dir)
+        return self
+
+    def __exit__(self, *exc):
+        if self.trace_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+        return False
+
+
+def se_main(argv: List[str]) -> int:
+    longopts = [
+        "fastq-file=", "output-file=", "qual-type=", "qual-threshold=",
+        "length-threshold=", "no-fiveprime", "discard-n", "gzip-output",
+        "quiet", "threads=", "batch=", "compat=", "devices=", "profile=",
+        "help", "version",
+    ]
+    try:
+        opts, extra = getopt.gnu_getopt(argv, "df:t:o:q:a:b:l:zxng", longopts)
+    except getopt.GetoptError as e:
+        sys.stderr.write(f"{e}\n")
+        return _usage_exit(SE_USAGE, 1)
+
+    infn = outfn = None
+    qualtype = None
+    q_thresh, l_thresh = 20, 20
+    no_five = trunc_n = gzip_out = quiet = debug = False
+    batch_mb = None
+    devices = None
+    compat = Compat.V133
+    profile = None
+
+    for o, a in opts:
+        if o in ("-f", "--fastq-file"):
+            infn = a
+        elif o in ("-o", "--output-file"):
+            outfn = a
+        elif o in ("-t", "--qual-type"):
+            qualtype = _parse_qualtype(a)
+            if qualtype is None:
+                return _usage_exit(SE_USAGE, 1)
+        elif o in ("-q", "--qual-threshold"):
+            q_thresh = int(a)
+            if q_thresh < 0:
+                sys.stderr.write("Quality threshold must be >= 0\n")
+                return 1
+        elif o in ("-l", "--length-threshold"):
+            l_thresh = int(a)
+            if l_thresh < 0:
+                sys.stderr.write("Length threshold must be >= 0\n")
+                return 1
+        elif o in ("-x", "--no-fiveprime"):
+            no_five = True
+        elif o in ("-n", "--discard-n"):
+            trunc_n = True
+        elif o in ("-g", "--gzip-output"):
+            gzip_out = True
+        elif o in ("-z", "--quiet"):
+            quiet = True
+        elif o == "-d":
+            debug = True
+        elif o in ("-a", "--threads"):
+            int(a)  # accepted for compatibility
+        elif o in ("-b", "--batch"):
+            batch_mb = int(a)
+        elif o == "--compat":
+            compat = Compat(a) if a != "1.33" else Compat.V133
+        elif o == "--devices":
+            devices = int(a)
+        elif o == "--profile":
+            profile = a
+        elif o == "--help":
+            sys.stdout.write(SE_USAGE)
+            return 0
+        elif o == "--version":
+            sys.stdout.write(version_text())
+            return 0
+
+    if qualtype is None or infn is None or outfn is None:
+        return _usage_exit(
+            SE_USAGE, 1,
+            "****Error: Must have quality type, input file, and output file.",
+        )
+    if infn == outfn:
+        sys.stderr.write("****Error: Input file is same as output file.\n\n")
+        return 1
+
+    _msg(debug, "Setting se trimming params")
+    params = TrimParams(
+        qualtype=qualtype,
+        qual_threshold=q_thresh,
+        length_threshold=l_thresh,
+        no_fiveprime=no_five,
+        trunc_n=trunc_n,
+        compat=compat,
+    )
+    rpc = _records_per_chunk(batch_mb)
+    cuts_fn, rpc = _build_cuts_fn(params, devices, rpc)
+    cfg = EngineConfig(records_per_chunk=rpc, compat=compat)
+
+    _msg(debug, "trim_main()")
+    _msg(debug, f"Building reader for {infn}")
+    try:
+        with open_input(infn) as fin:
+            out = open_output(outfn, gzip_out)
+            try:
+                with _Profile(profile):
+                    counters = run_se(fin, out, params, cfg=cfg, cuts_fn=cuts_fn)
+            finally:
+                if out is not sys.stdout.buffer:
+                    out.close()
+    except FileNotFoundError:
+        sys.stderr.write(f"****Error: Could not open input file '{infn}'.\n\n")
+        return 1
+    except SickleError as e:
+        sys.stderr.write(e.message + "\n")
+        return e.exit_code
+
+    if not quiet:
+        sys.stdout.write(
+            f"\nSE input file: {infn}\n\n"
+            f"Total FastQ records: {counters.total}\n"
+            f"FastQ records kept: {counters.kept}\n"
+            f"FastQ records discarded: {counters.discarded}\n\n"
+        )
+    return 0
+
+
+def pe_main(argv: List[str]) -> int:
+    longopts = [
+        "qual-type=", "pe-file1=", "pe-file2=", "pe-interleaved=",
+        "output-pe1=", "output-pe2=", "output-single=", "output-interleaved=",
+        "output-n=", "qual-threshold=", "length-threshold=", "no-fiveprime",
+        "truncate-n", "gzip-output", "quiet", "threads=", "batch=",
+        "compat=", "devices=", "profile=", "help", "version",
+    ]
+    try:
+        opts, extra = getopt.gnu_getopt(argv, "df:r:c:t:o:p:m:M:s:q:a:b:l:xng", longopts)
+    except getopt.GetoptError as e:
+        sys.stderr.write(f"{e}\n")
+        return _usage_exit(PE_USAGE, 1)
+
+    infn = infn2 = infnc = None
+    outfn = outfn2 = outfnc = sfn = None
+    n_record_mode = False
+    qualtype = None
+    q_thresh, l_thresh = 20, 20
+    no_five = trunc_n = gzip_out = quiet = debug = False
+    batch_mb = None
+    devices = None
+    compat = Compat.V133
+    profile = None
+
+    for o, a in opts:
+        if o in ("-f", "--pe-file1"):
+            infn = a
+        elif o in ("-r", "--pe-file2"):
+            infn2 = a
+        elif o in ("-c", "--pe-interleaved"):
+            infnc = a
+        elif o in ("-o", "--output-pe1"):
+            outfn = a
+        elif o in ("-p", "--output-pe2"):
+            outfn2 = a
+        elif o in ("-m", "--output-interleaved"):
+            outfnc = a
+        elif o in ("-M", "--output-n"):
+            outfnc = a
+            n_record_mode = True
+        elif o in ("-s", "--output-single"):
+            sfn = a
+        elif o in ("-t", "--qual-type"):
+            qualtype = _parse_qualtype(a)
+            if qualtype is None:
+                return _usage_exit(PE_USAGE, 1)
+        elif o in ("-q", "--qual-threshold"):
+            q_thresh = int(a)
+            if q_thresh < 0:
+                sys.stderr.write("Quality threshold must be >= 0\n")
+                return 1
+        elif o in ("-l", "--length-threshold"):
+            l_thresh = int(a)
+            if l_thresh < 0:
+                sys.stderr.write("Length threshold must be >= 0\n")
+                return 1
+        elif o in ("-x", "--no-fiveprime"):
+            no_five = True
+        elif o in ("-n", "--truncate-n"):
+            trunc_n = True
+        elif o in ("-g", "--gzip-output"):
+            gzip_out = True
+        elif o == "--quiet":
+            quiet = True
+        elif o == "-d":
+            debug = True
+        elif o in ("-a", "--threads"):
+            int(a)
+        elif o in ("-b", "--batch"):
+            batch_mb = int(a)
+        elif o == "--compat":
+            compat = Compat(a) if a != "1.33" else Compat.V133
+        elif o == "--devices":
+            devices = int(a)
+        elif o == "--profile":
+            profile = a
+        elif o == "--help":
+            sys.stdout.write(PE_USAGE)
+            return 0
+        elif o == "--version":
+            sys.stdout.write(version_text())
+            return 0
+
+    if qualtype is None:
+        return _usage_exit(PE_USAGE, 1, "****Error: Quality type is required.")
+    if not infn and not infnc:
+        return _usage_exit(
+            PE_USAGE, 1, "****Error: Must have either -f OR -c argument."
+        )
+    if infnc:
+        if infn or infn2 or outfn or outfn2:
+            return _usage_exit(
+                PE_USAGE, 1,
+                "****Error: Cannot have -f, -r, -o, or -p options with -c.",
+            )
+        if not outfnc:
+            return _usage_exit(
+                PE_USAGE, 1,
+                "****Error: Interleaved input requires -m or -M output.",
+            )
+        if n_record_mode and sfn:
+            return _usage_exit(
+                PE_USAGE, 1, "****Error: Cannot use -M with -s."
+            )
+        # -m without -s is the "only one interleaved output" mode: singles
+        # are counted but not written (reference writes them only if sfn,
+        # src/trim_paired.cpp:712-726)
+    else:
+        if not infn2 or not outfn or not outfn2 or not sfn:
+            return _usage_exit(
+                PE_USAGE, 1,
+                "****Error: Using the -f option means you must have the -r, -o, -p, and -s options.",
+            )
+        if outfnc or n_record_mode:
+            return _usage_exit(
+                PE_USAGE, 1,
+                "****Error: The -f option cannot be used in combination with -c, -m, or -M.",
+            )
+
+    params = TrimParams(
+        qualtype=qualtype,
+        qual_threshold=q_thresh,
+        length_threshold=l_thresh,
+        no_fiveprime=no_five,
+        trunc_n=trunc_n,
+        compat=compat,
+    )
+    rpc = _records_per_chunk(batch_mb)
+    cuts_fn, rpc = _build_cuts_fn(params, devices, rpc)
+    cfg = EngineConfig(records_per_chunk=rpc, compat=compat)
+
+    outs = []
+
+    def out_stream(path):
+        s = open_output(path, gzip_out)
+        outs.append(s)
+        return s
+
+    try:
+        if infnc:
+            _msg(debug, f"Building reader for {infnc}")
+            with open_input(infnc) as fin:
+                with _Profile(profile):
+                    counters = run_pe(
+                        fin, None, interleaved=True,
+                        out1=out_stream(outfnc),
+                        singles_out=out_stream(sfn) if sfn else None,
+                        n_record_mode=n_record_mode,
+                        params=params, cfg=cfg, cuts_fn=cuts_fn,
+                    )
+        else:
+            _msg(debug, f"Building reader for {infn}")
+            _msg(debug, f"Building reader for {infn2}")
+            with open_input(infn) as f1, open_input(infn2) as f2:
+                with _Profile(profile):
+                    counters = run_pe(
+                        f1, f2, interleaved=False,
+                        out1=out_stream(outfn),
+                        out2=out_stream(outfn2),
+                        singles_out=out_stream(sfn),
+                        params=params, cfg=cfg, cuts_fn=cuts_fn,
+                    )
+    except FileNotFoundError as e:
+        sys.stderr.write(f"****Error: Could not open input file '{e.filename}'.\n\n")
+        return 1
+    except SickleError as e:
+        sys.stderr.write(e.message + "\n")
+        return e.exit_code
+    finally:
+        for s in outs:
+            if s is not sys.stdout.buffer:
+                s.close()
+
+    if not quiet:
+        c = counters
+        if infn and infn2:
+            sys.stdout.write(f"\nPE forward file: {infn}\nPE reverse file: {infn2}\n")
+        if infnc:
+            sys.stdout.write(f"\nPE interleaved file: {infnc}\n")
+        sys.stdout.write(
+            f"\nTotal input FastQ records: {c.total} ({c.total // 2} pairs)\n"
+        )
+        sys.stdout.write(
+            f"\nFastQ paired records kept: {c.kept_p} ({c.kept_p // 2} pairs)\n"
+        )
+        if infnc:
+            sys.stdout.write(f"FastQ single records kept: {c.kept_s1 + c.kept_s2}\n")
+        else:
+            sys.stdout.write(
+                f"FastQ single records kept: {c.kept_s1 + c.kept_s2} "
+                f"(from PE1: {c.kept_s1}, from PE2: {c.kept_s2})\n"
+            )
+        sys.stdout.write(
+            f"FastQ paired records discarded: {c.discard_p} ({c.discard_p // 2} pairs)\n"
+        )
+        if infnc:
+            sys.stdout.write(
+                f"FastQ single records discarded: {c.discard_s1 + c.discard_s2}\n\n"
+            )
+        else:
+            sys.stdout.write(
+                f"FastQ single records discarded: {c.discard_s1 + c.discard_s2} "
+                f"(from PE1: {c.discard_s1}, from PE2: {c.discard_s2})\n\n"
+            )
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in ("pe", "se", "--version", "--help"):
+        return main_usage(1)
+    if argv[0] == "--version":
+        sys.stdout.write(version_text())
+        return 0
+    if argv[0] == "--help":
+        return main_usage(0)
+    if argv[0] == "pe":
+        return pe_main(argv[1:])
+    return se_main(argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

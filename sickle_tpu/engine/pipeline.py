@@ -1,0 +1,468 @@
+"""Pipelined se/pe trimming drivers.
+
+Three overlapped stages with deterministic, order-preserving output
+(unlike the reference's racy detached writer, SURVEY.md §2.4.3):
+
+  [prefetch thread]  read + pack chunk i+1        (host, numpy/C++)
+  [main thread]      dispatch device compute i    (async under jit)
+  [writer thread]    materialize + assemble + write chunk i-1
+
+Chunks hold a fixed record count, so every device call shares one
+compiled executable.  Counters are exact and global (the reference's pe
+``total`` bug, SURVEY.md §2.4.7, is not reproduced).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import BinaryIO, Callable, Iterator, Optional, Tuple
+
+import numpy as np
+
+from ..constants import Compat
+from ..io.fastq import PackedReads, assemble_records, pack_fastq
+from ..oracle import (
+    FastqValidationError,
+    PECounters,
+    SECounters,
+    decode_qual,
+)
+from ..ops import TrimParams, compute_cuts_jit
+from .chunker import iter_record_chunks
+
+CutsFn = Callable[[np.ndarray, np.ndarray, np.ndarray], Tuple]
+
+_SENTINEL = object()
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    """Pipeline tuning knobs.
+
+    ``records_per_chunk`` plays the role of the reference's -b batch size
+    (bytes), but counted in records so device shapes stay constant.
+    """
+
+    records_per_chunk: int = 1 << 16
+    prefetch: int = 2
+    compat: Compat = Compat.V133
+
+
+def default_cuts_fn(params: TrimParams) -> CutsFn:
+    def fn(seq, qual, lengths):
+        return compute_cuts_jit(seq, qual, lengths, params)
+
+    return fn
+
+
+def _raise_quality_error(packed: PackedReads, row: int, params: TrimParams):
+    """Re-scan the offending record scalar for the reference's exact
+    message (src/trim.cpp:121-134)."""
+    arr = packed.data
+    name = arr[
+        packed.name_start[row] : packed.name_start[row] + packed.name_len[row]
+    ].tobytes()
+    L = int(packed.lengths[row])
+    qual = arr[packed.qual_start[row] : packed.qual_start[row] + L].tobytes()
+    decode_qual(qual, params.qualtype, name)
+    raise AssertionError("device flagged a quality error the host cannot find")
+
+
+def _check_quality(packed: PackedReads, first_bad: np.ndarray, params: TrimParams):
+    n = packed.n_records
+    bad = first_bad[:n] < packed.lengths[:n]
+    if bad.any():
+        _raise_quality_error(packed, int(np.argmax(bad)), params)
+
+
+class _Pipeline:
+    """Shared 3-stage machinery; stage bodies are provided by the driver.
+
+    ``producer`` fills ``pack_q`` (and terminates it with the sentinel);
+    ``dispatcher(item)`` runs on the main thread (device dispatch);
+    ``consume(result)`` runs on the writer thread, strictly in dispatch
+    order.  Any stage's exception is re-raised on the main thread; failed
+    stages drain their queues so no peer can block forever.
+    """
+
+    def __init__(self, prefetch: int):
+        self.pack_q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self.write_q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self.errors: list = []
+        self.stop = threading.Event()
+
+    def check(self):
+        if self.errors:
+            raise self.errors[0]
+
+    def _producer_loop(self, producer):
+        try:
+            producer()
+        except BaseException as e:
+            self.errors.append(e)
+            self.stop.set()
+        finally:
+            self.pack_q.put(_SENTINEL)
+
+    def _writer_loop(self, consume):
+        while True:
+            item = self.write_q.get()
+            if item is _SENTINEL:
+                return
+            if self.errors:
+                continue  # drain
+            try:
+                consume(item)
+            except BaseException as e:
+                self.errors.append(e)
+                self.stop.set()
+
+    def run(self, producer, dispatcher, consume):
+        tp = threading.Thread(target=self._producer_loop, args=(producer,), daemon=True)
+        tw = threading.Thread(target=self._writer_loop, args=(consume,), daemon=True)
+        tp.start()
+        tw.start()
+        try:
+            while True:
+                item = self.pack_q.get()
+                if item is _SENTINEL:
+                    break
+                if self.stop.is_set():
+                    continue  # drain
+                self.write_q.put(dispatcher(item))
+        finally:
+            self.write_q.put(_SENTINEL)
+            tw.join()
+            tp.join(timeout=10)
+        self.check()
+
+
+# ---------------------------------------------------------------------------
+# Single-end
+# ---------------------------------------------------------------------------
+
+
+def run_se(
+    in_stream: BinaryIO,
+    out_stream: BinaryIO,
+    params: TrimParams,
+    *,
+    cfg: Optional[EngineConfig] = None,
+    cuts_fn: Optional[CutsFn] = None,
+) -> SECounters:
+    """Trim a single-end stream; returns exact global counters."""
+    cfg = cfg or EngineConfig()
+    cuts_fn = cuts_fn or default_cuts_fn(params)
+    pipe = _Pipeline(cfg.prefetch)
+    counters = SECounters()
+    state = {"consumed": 0, "l_max": 0}
+
+    def producer():
+        for chunk in iter_record_chunks(in_stream, cfg.records_per_chunk):
+            packed = pack_fastq(
+                chunk,
+                start_position=state["consumed"],
+                l_max=state["l_max"],
+                batch_multiple=cfg.records_per_chunk,
+            )
+            state["consumed"] += packed.n_records
+            state["l_max"] = max(state["l_max"], packed.max_len)
+            pipe.pack_q.put(packed)
+
+    def dispatcher(packed: PackedReads):
+        five, three, first_bad = cuts_fn(packed.seq, packed.qual, packed.lengths)
+        return packed, five, three, first_bad
+
+    def consume(item):
+        packed, five, three, first_bad = item
+        five = np.asarray(five)[: packed.n_records]
+        three = np.asarray(three)[: packed.n_records]
+        _check_quality(packed, np.asarray(first_bad), params)
+        keep = three >= 0
+        kept = int(keep.sum())
+        counters.kept += kept
+        counters.discarded += packed.n_records - kept
+        counters.total += packed.n_records
+        if kept:
+            idx = np.flatnonzero(keep)
+            out = assemble_records(
+                packed.data,
+                name_start=packed.name_start[idx],
+                name_len=packed.name_len[idx],
+                seq_start=packed.seq_start[idx],
+                comment_start=packed.comment_start[idx],
+                comment_len=packed.comment_len[idx],
+                qual_start=packed.qual_start[idx],
+                five=five[idx].astype(np.int64),
+                three=three[idx].astype(np.int64),
+                compat=cfg.compat,
+                qualtype=params.qualtype,
+            )
+            out_stream.write(out)
+
+    pipe.run(producer, dispatcher, consume)
+    return counters
+
+
+# ---------------------------------------------------------------------------
+# Paired-end
+# ---------------------------------------------------------------------------
+
+
+def _pair_chunks_two_file(
+    in1: BinaryIO, in2: BinaryIO, records_per_chunk: int
+) -> Iterator[Tuple[bytes, bytes]]:
+    it1 = iter_record_chunks(in1, records_per_chunk)
+    it2 = iter_record_chunks(in2, records_per_chunk)
+    while True:
+        c1 = next(it1, None)
+        c2 = next(it2, None)
+        if c1 is None and c2 is None:
+            return
+        if c1 is None or c2 is None:
+            raise FastqValidationError(
+                "Batch2 and Batch1 have different lengths, exiting"
+            )
+        yield c1, c2
+
+
+def run_pe(
+    in1: BinaryIO,
+    in2: Optional[BinaryIO],
+    *,
+    interleaved: bool = False,
+    out1: Optional[BinaryIO] = None,
+    out2: Optional[BinaryIO] = None,
+    singles_out: Optional[BinaryIO] = None,
+    n_record_mode: bool = False,
+    params: TrimParams,
+    cfg: Optional[EngineConfig] = None,
+    cuts_fn: Optional[CutsFn] = None,
+) -> PECounters:
+    """Trim a paired-end stream.
+
+    Modes (reference src/trim_paired.cpp:626-731):
+    * two-file: ``in1``/``in2`` -> ``out1``/``out2`` + ``singles_out``
+    * interleaved (-c -m): ``in1`` -> ``out1`` (interleaved) + ``singles_out``
+    * interleaved -M (``n_record_mode``): ``in1`` -> ``out1`` with failed
+      mates replaced by N records (pairing preserved); no singles file.
+
+    Pair decision per src/trim_paired.cpp:543-567: both pass -> pair
+    outputs; one passes -> singles (or N record); neither -> discarded
+    (or two N records).
+    """
+    cfg = cfg or EngineConfig()
+    cuts_fn = cuts_fn or default_cuts_fn(params)
+    pipe = _Pipeline(cfg.prefetch)
+    counters = PECounters()
+    state = {"consumed": 0, "l_max": 0}
+    rpc = cfg.records_per_chunk
+    if interleaved and rpc % 2:
+        rpc += 1
+
+    def pack(chunk: bytes, n_expected_mult: int) -> PackedReads:
+        packed = pack_fastq(
+            chunk,
+            start_position=state["consumed"],
+            l_max=state["l_max"],
+            batch_multiple=rpc,
+        )
+        state["l_max"] = max(state["l_max"], packed.max_len)
+        return packed
+
+    def producer():
+        if interleaved:
+            for chunk in iter_record_chunks(in1, rpc):
+                packed = pack(chunk, 2)
+                if packed.n_records % 2:
+                    raise FastqValidationError(
+                        "Reading interleaved pair: read1 loaded, but no read2 "
+                        "to load. Maybe it's not an interleaved file?"
+                    )
+                state["consumed"] += packed.n_records
+                pipe.pack_q.put((packed, None))
+        else:
+            for c1, c2 in _pair_chunks_two_file(in1, in2, rpc):
+                p1 = pack(c1, 1)
+                p2 = pack(c2, 1)
+                if p1.n_records != p2.n_records:
+                    raise FastqValidationError(
+                        "Batch2 and Batch1 have different lengths, exiting"
+                    )
+                state["consumed"] += p1.n_records
+                pipe.pack_q.put((p1, p2))
+
+    def dispatcher(item):
+        p1, p2 = item
+        r1 = cuts_fn(p1.seq, p1.qual, p1.lengths)
+        r2 = cuts_fn(p2.seq, p2.qual, p2.lengths) if p2 is not None else None
+        return p1, p2, r1, r2
+
+    def consume(item):
+        p1, p2, r1, r2 = item
+        if p2 is None:
+            _write_interleaved_chunk(p1, r1, counters, out1, singles_out,
+                                     n_record_mode, params, cfg)
+        else:
+            _write_two_file_chunk(p1, p2, r1, r2, counters, out1, out2,
+                                  singles_out, n_record_mode, params, cfg)
+
+    pipe.run(producer, dispatcher, consume)
+    return counters
+
+
+def _sel(packed: PackedReads, idx: np.ndarray, offset: int = 0) -> dict:
+    return dict(
+        name_start=packed.name_start[idx] + offset,
+        name_len=packed.name_len[idx],
+        seq_start=packed.seq_start[idx] + offset,
+        comment_start=packed.comment_start[idx] + offset,
+        comment_len=packed.comment_len[idx],
+        qual_start=packed.qual_start[idx] + offset,
+    )
+
+
+def _interleave_fields(f1: dict, f2: dict, k: int) -> dict:
+    """Merge two per-pair field dicts into mate-interleaved order."""
+    out = {}
+    for key in f1:
+        a = np.empty(2 * k, dtype=np.asarray(f1[key]).dtype)
+        a[0::2] = f1[key]
+        a[1::2] = f2[key]
+        out[key] = a
+    return out
+
+
+def _update_pe_counters(c: PECounters, p1: np.ndarray, p2: np.ndarray):
+    both = p1 & p2
+    only1 = p1 & ~p2
+    only2 = p2 & ~p1
+    neither = ~p1 & ~p2
+    c.kept_p += 2 * int(both.sum())
+    c.kept_s1 += int(only1.sum())
+    c.kept_s2 += int(only2.sum())
+    c.discard_s2 += int(only1.sum())
+    c.discard_s1 += int(only2.sum())
+    c.discard_p += 2 * int(neither.sum())
+    c.total = c.kept_p + c.kept_s1 + c.kept_s2 + c.discard_p + c.discard_s1 + c.discard_s2
+
+
+def _write_interleaved_chunk(
+    packed, result, counters, out1, singles_out, n_record_mode, params, cfg
+):
+    five, three, first_bad = result
+    n = packed.n_records
+    five = np.asarray(five)[:n].astype(np.int64)
+    three = np.asarray(three)[:n].astype(np.int64)
+    _check_quality(packed, np.asarray(first_bad), params)
+    f1, t1 = five[0::2], three[0::2]
+    f2, t2 = five[1::2], three[1::2]
+    p1, p2 = t1 >= 0, t2 >= 0
+    _update_pe_counters(counters, p1, p2)
+    idx1 = np.arange(n)[0::2]
+    idx2 = np.arange(n)[1::2]
+
+    if n_record_mode:
+        # every pair appears; failed mates become N records
+        sel1 = _sel(packed, idx1)
+        sel2 = _sel(packed, idx2)
+        k = idx1.size
+        fields = _interleave_fields(sel1, sel2, k)
+        fv = np.empty(2 * k, np.int64)
+        tv = np.empty(2 * k, np.int64)
+        fv[0::2], fv[1::2] = np.maximum(f1, 0), np.maximum(f2, 0)
+        tv[0::2], tv[1::2] = np.maximum(t1, 0), np.maximum(t2, 0)
+        mask = np.empty(2 * k, bool)
+        mask[0::2], mask[1::2] = ~p1, ~p2
+        out1.write(
+            assemble_records(
+                packed.data, **fields, five=fv, three=tv,
+                compat=cfg.compat, n_record_mask=mask, qualtype=params.qualtype,
+            )
+        )
+        return
+
+    both = p1 & p2
+    if both.any():
+        kb = np.flatnonzero(both)
+        fields = _interleave_fields(
+            _sel(packed, idx1[kb]), _sel(packed, idx2[kb]), kb.size
+        )
+        fv = np.empty(2 * kb.size, np.int64)
+        tv = np.empty(2 * kb.size, np.int64)
+        fv[0::2], fv[1::2] = f1[kb], f2[kb]
+        tv[0::2], tv[1::2] = t1[kb], t2[kb]
+        out1.write(
+            assemble_records(
+                packed.data, **fields, five=fv, three=tv,
+                compat=cfg.compat, qualtype=params.qualtype,
+            )
+        )
+    single = p1 ^ p2
+    if single.any() and singles_out is not None:
+        ks = np.flatnonzero(single)
+        take1 = p1[ks]
+        rows = np.where(take1, idx1[ks], idx2[ks])
+        fv = np.where(take1, f1[ks], f2[ks])
+        tv = np.where(take1, t1[ks], t2[ks])
+        singles_out.write(
+            assemble_records(
+                packed.data, **_sel(packed, rows), five=fv, three=tv,
+                compat=cfg.compat, qualtype=params.qualtype,
+            )
+        )
+
+
+def _write_two_file_chunk(
+    p1k, p2k, r1, r2, counters, out1, out2, singles_out, n_record_mode, params, cfg
+):
+    five1, three1, bad1 = r1
+    five2, three2, bad2 = r2
+    n = p1k.n_records
+    f1 = np.asarray(five1)[:n].astype(np.int64)
+    t1 = np.asarray(three1)[:n].astype(np.int64)
+    f2 = np.asarray(five2)[:n].astype(np.int64)
+    t2 = np.asarray(three2)[:n].astype(np.int64)
+    _check_quality(p1k, np.asarray(bad1), params)
+    _check_quality(p2k, np.asarray(bad2), params)
+    p1, p2 = t1 >= 0, t2 >= 0
+    _update_pe_counters(counters, p1, p2)
+
+    both = p1 & p2
+    if both.any():
+        kb = np.flatnonzero(both)
+        out1.write(
+            assemble_records(
+                p1k.data, **_sel(p1k, kb), five=f1[kb], three=t1[kb],
+                compat=cfg.compat, qualtype=params.qualtype,
+            )
+        )
+        out2.write(
+            assemble_records(
+                p2k.data, **_sel(p2k, kb), five=f2[kb], three=t2[kb],
+                compat=cfg.compat, qualtype=params.qualtype,
+            )
+        )
+    single = p1 ^ p2
+    if single.any() and singles_out is not None:
+        # singles come from either source file, in pair order -> one
+        # combined source buffer (mate-2 indices offset past mate-1 bytes)
+        ks = np.flatnonzero(single)
+        combined = np.concatenate([p1k.data, p2k.data])
+        off2 = p1k.data.size
+        take1 = p1[ks]
+        s1 = _sel(p1k, ks)
+        s2 = _sel(p2k, ks, offset=off2)
+        fields = {
+            key: np.where(take1, s1[key], s2[key]) for key in s1
+        }
+        fv = np.where(take1, f1[ks], f2[ks])
+        tv = np.where(take1, t1[ks], t2[ks])
+        singles_out.write(
+            assemble_records(
+                combined, **fields, five=fv, three=tv,
+                compat=cfg.compat, qualtype=params.qualtype,
+            )
+        )

@@ -1,0 +1,64 @@
+"""Device mesh + sharded trimming step.
+
+Single-host multi-chip: a 1-D ``data`` mesh; each chip computes cuts for
+its row-shard of the packed batch.  The kernel is purely elementwise over
+rows, so ``shard_map`` introduces zero collectives — XLA compiles one
+per-shard program and the host assembles full outputs (tiny int32[B]
+arrays) for the writer.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.trim import TrimParams, compute_cuts
+
+DATA_AXIS = "data"
+
+
+def data_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+    """A 1-D mesh over the first ``n_devices`` local devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (DATA_AXIS,))
+
+
+def sharded_cuts_fn(params: TrimParams, mesh: Mesh, kernel=compute_cuts):
+    """Build a jitted cuts function sharded row-wise over ``mesh``.
+
+    The batch dimension must be divisible by the mesh size (the engine
+    rounds chunk batches to a multiple of it).  ``kernel`` may be the jnp
+    formulation or the Pallas kernel — both are row-local.
+    """
+    n = mesh.devices.size
+    row = NamedSharding(mesh, P(DATA_AXIS))
+    row2 = NamedSharding(mesh, P(DATA_AXIS, None))
+
+    def step(seq, qual, lengths):
+        return kernel(seq, qual, lengths, params)
+
+    shard_mapped = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+    )
+    jitted = jax.jit(shard_mapped)
+
+    def fn(seq, qual, lengths):
+        if seq.shape[0] % n:
+            raise ValueError(
+                f"batch rows {seq.shape[0]} not divisible by mesh size {n}"
+            )
+        seq = jax.device_put(seq, row2)
+        qual = jax.device_put(qual, row2)
+        lengths = jax.device_put(lengths, row)
+        return jitted(seq, qual, lengths)
+
+    return fn

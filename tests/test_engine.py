@@ -1,0 +1,130 @@
+"""Engine pipeline tests: multi-chunk streaming, determinism, sharding.
+
+The reference's output depends on thread count and races (SURVEY.md
+§2.4.3/§2.4.5); ours must be byte-identical at ANY chunk size and ANY
+device count (8 virtual CPU devices here).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from sickle_tpu import oracle
+from sickle_tpu.constants import Compat, QualityType
+from sickle_tpu.engine import EngineConfig, iter_record_chunks, run_pe, run_se
+from sickle_tpu.ops import TrimParams
+
+
+def params60():
+    return TrimParams(qualtype=QualityType.SANGER, qual_threshold=60, compat=Compat.FORK)
+
+
+@pytest.fixture(scope="module")
+def fixture_bytes(reference_fixtures):
+    return (reference_fixtures / "test.fastq").read_bytes()
+
+
+def se_run(data, rpc, cuts_fn=None, compat=Compat.FORK):
+    out = io.BytesIO()
+    c = run_se(
+        io.BytesIO(data), out, params60(),
+        cfg=EngineConfig(records_per_chunk=rpc, compat=compat),
+        cuts_fn=cuts_fn,
+    )
+    return out.getvalue(), c
+
+
+def test_chunker_exact_alignment(fixture_bytes):
+    chunks = list(iter_record_chunks(io.BytesIO(fixture_bytes), 256))
+    assert b"".join(chunks) == fixture_bytes
+    for c in chunks[:-1]:
+        assert c.count(b"\n") == 256 * 4
+    # block boundary sweep: tiny blocks must not change chunking
+    chunks2 = list(
+        iter_record_chunks(io.BytesIO(fixture_bytes), 256, block_bytes=1000)
+    )
+    assert chunks2 == chunks
+
+
+@pytest.mark.parametrize("rpc", [64, 256, 1024, 4096])
+def test_se_chunk_size_invariance(fixture_bytes, rpc):
+    want, cw = oracle.trim_se(
+        fixture_bytes, qualtype=QualityType.SANGER, qual_threshold=60,
+        compat=Compat.FORK,
+    )
+    got, c = se_run(fixture_bytes, rpc)
+    assert got == want
+    assert (c.total, c.kept, c.discarded) == (cw.total, cw.kept, cw.discarded)
+
+
+def test_se_sharded_8_devices(fixture_bytes):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from sickle_tpu.parallel import data_mesh, sharded_cuts_fn
+
+    mesh = data_mesh(8)
+    fn = sharded_cuts_fn(params60(), mesh)
+    want, _ = se_run(fixture_bytes, 1024)
+    got, _ = se_run(fixture_bytes, 1024, cuts_fn=fn)
+    assert got == want
+
+
+def test_pe_two_file_multichunk(reference_fixtures):
+    d1 = (reference_fixtures / "test.f.fastq").read_bytes()
+    d2 = (reference_fixtures / "test.r.fastq").read_bytes()
+    w1, w2, ws, wc = oracle.trim_pe(
+        d1, d2, qualtype=QualityType.SANGER, qual_threshold=60, compat=Compat.FORK
+    )
+    o1, o2, s = io.BytesIO(), io.BytesIO(), io.BytesIO()
+    c = run_pe(
+        io.BytesIO(d1), io.BytesIO(d2),
+        out1=o1, out2=o2, singles_out=s,
+        params=params60(),
+        cfg=EngineConfig(records_per_chunk=128, compat=Compat.FORK),
+    )
+    assert o1.getvalue() == w1
+    assert o2.getvalue() == w2
+    assert s.getvalue() == ws
+    assert (c.kept_p, c.kept_s1, c.kept_s2, c.discard_p) == (
+        wc.kept_p, wc.kept_s1, wc.kept_s2, wc.discard_p,
+    )
+    assert c.total == 2500
+
+
+def test_pe_interleaved_M_multichunk(fixture_bytes):
+    want, _, _, wc = oracle.trim_pe(
+        fixture_bytes, interleaved=True, qualtype=QualityType.SANGER,
+        qual_threshold=60, n_record_mode=True, compat=Compat.FORK,
+    )
+    o1 = io.BytesIO()
+    c = run_pe(
+        io.BytesIO(fixture_bytes), None, interleaved=True,
+        out1=o1, n_record_mode=True,
+        params=params60(),
+        cfg=EngineConfig(records_per_chunk=128, compat=Compat.FORK),
+    )
+    assert o1.getvalue() == want
+    assert c.discard_p == wc.discard_p
+
+
+def test_quality_error_mid_stream():
+    rec = b"@r%d\n" + b"A" * 40 + b"\n+\n" + b"I" * 40 + b"\n"
+    good = b"".join(rec % i for i in range(300))
+    bad = b"@rbad\n" + b"A" * 40 + b"\n+\n" + b"I" * 20 + b"\x1f" + b"I" * 19 + b"\n"
+    data = good + bad + b"".join(rec % (1000 + i) for i in range(300))
+    with pytest.raises(oracle.QualityRangeError) as e:
+        se_run(data, 64)
+    assert "@rbad" in e.value.message
+    assert "Quality position: 21" in e.value.message
+
+
+def test_validation_error_mid_stream():
+    rec = b"@r%d\n" + b"A" * 40 + b"\n+\n" + b"I" * 40 + b"\n"
+    good = b"".join(rec % i for i in range(200))
+    bad = b"@rx\n" + b"A" * 40 + b"\n+\n" + b"I" * 39 + b"\n"
+    with pytest.raises(oracle.FastqValidationError) as e:
+        se_run(good + bad, 64)
+    assert "different lengths" in e.value.message
