@@ -22,7 +22,13 @@ from typing import BinaryIO, Callable, Iterator, Optional, Tuple
 import numpy as np
 
 from ..constants import Compat
-from ..io.fastq import PackedReads, assemble_records, pack_fastq
+from ..io.fastq import (
+    OutputBuffer,
+    PackedReads,
+    PackWorkspace,
+    assemble_records,
+    pack_fastq,
+)
 from ..oracle import (
     FastqValidationError,
     PECounters,
@@ -35,6 +41,10 @@ from .chunker import iter_record_chunks
 CutsFn = Callable[[np.ndarray, np.ndarray, np.ndarray], Tuple]
 
 _SENTINEL = object()
+
+
+class _Cancelled(BaseException):
+    """Internal: a pipeline stage was cancelled because a peer failed."""
 
 
 @dataclasses.dataclass
@@ -87,11 +97,32 @@ class _Pipeline:
     stages drain their queues so no peer can block forever.
     """
 
-    def __init__(self, prefetch: int):
+    def __init__(self, prefetch: int, n_workspaces: int = 0):
         self.pack_q: queue.Queue = queue.Queue(maxsize=prefetch)
         self.write_q: queue.Queue = queue.Queue(maxsize=prefetch)
         self.errors: list = []
         self.stop = threading.Event()
+        # reusable pack workspaces, one per in-flight chunk (+2 slack);
+        # producer checks out, writer recycles after materializing results
+        self.ws_pool: queue.Queue = queue.Queue()
+        for _ in range(n_workspaces):
+            self.ws_pool.put(PackWorkspace())
+
+    def get_workspace(self) -> PackWorkspace:
+        # stop-aware: when the writer fails, drained chunks are never
+        # recycled, so a plain blocking get would deadlock the producer
+        while True:
+            if self.stop.is_set():
+                raise _Cancelled()
+            try:
+                return self.ws_pool.get(timeout=0.05)
+            except queue.Empty:
+                continue
+
+    def recycle(self, *packed_list):
+        for p in packed_list:
+            if p is not None and p.workspace is not None:
+                self.ws_pool.put(p.workspace)
 
     def check(self):
         if self.errors:
@@ -100,6 +131,8 @@ class _Pipeline:
     def _producer_loop(self, producer):
         try:
             producer()
+        except _Cancelled:
+            pass  # another stage already failed; its error wins
         except BaseException as e:
             self.errors.append(e)
             self.stop.set()
@@ -155,9 +188,10 @@ def run_se(
     """Trim a single-end stream; returns exact global counters."""
     cfg = cfg or EngineConfig()
     cuts_fn = cuts_fn or default_cuts_fn(params)
-    pipe = _Pipeline(cfg.prefetch)
+    pipe = _Pipeline(cfg.prefetch, n_workspaces=cfg.prefetch + 2)
     counters = SECounters()
     state = {"consumed": 0, "l_max": 0}
+    outbuf = OutputBuffer()
 
     def producer():
         for chunk in iter_record_chunks(in_stream, cfg.records_per_chunk):
@@ -166,6 +200,7 @@ def run_se(
                 start_position=state["consumed"],
                 l_max=state["l_max"],
                 batch_multiple=cfg.records_per_chunk,
+                workspace=pipe.get_workspace(),
             )
             state["consumed"] += packed.n_records
             state["l_max"] = max(state["l_max"], packed.max_len)
@@ -199,8 +234,10 @@ def run_se(
                 three=three[idx].astype(np.int64),
                 compat=cfg.compat,
                 qualtype=params.qualtype,
+                out=outbuf,
             )
             out_stream.write(out)
+        pipe.recycle(packed)
 
     pipe.run(producer, dispatcher, consume)
     return counters
@@ -255,19 +292,22 @@ def run_pe(
     """
     cfg = cfg or EngineConfig()
     cuts_fn = cuts_fn or default_cuts_fn(params)
-    pipe = _Pipeline(cfg.prefetch)
+    n_ws = (cfg.prefetch + 2) * (1 if interleaved else 2)
+    pipe = _Pipeline(cfg.prefetch, n_workspaces=n_ws)
     counters = PECounters()
     state = {"consumed": 0, "l_max": 0}
+    outbuf = OutputBuffer()
     rpc = cfg.records_per_chunk
     if interleaved and rpc % 2:
         rpc += 1
 
-    def pack(chunk: bytes, n_expected_mult: int) -> PackedReads:
+    def pack(chunk: bytes) -> PackedReads:
         packed = pack_fastq(
             chunk,
             start_position=state["consumed"],
             l_max=state["l_max"],
             batch_multiple=rpc,
+            workspace=pipe.get_workspace(),
         )
         state["l_max"] = max(state["l_max"], packed.max_len)
         return packed
@@ -275,7 +315,7 @@ def run_pe(
     def producer():
         if interleaved:
             for chunk in iter_record_chunks(in1, rpc):
-                packed = pack(chunk, 2)
+                packed = pack(chunk)
                 if packed.n_records % 2:
                     raise FastqValidationError(
                         "Reading interleaved pair: read1 loaded, but no read2 "
@@ -285,8 +325,8 @@ def run_pe(
                 pipe.pack_q.put((packed, None))
         else:
             for c1, c2 in _pair_chunks_two_file(in1, in2, rpc):
-                p1 = pack(c1, 1)
-                p2 = pack(c2, 1)
+                p1 = pack(c1)
+                p2 = pack(c2)
                 if p1.n_records != p2.n_records:
                     raise FastqValidationError(
                         "Batch2 and Batch1 have different lengths, exiting"
@@ -304,10 +344,11 @@ def run_pe(
         p1, p2, r1, r2 = item
         if p2 is None:
             _write_interleaved_chunk(p1, r1, counters, out1, singles_out,
-                                     n_record_mode, params, cfg)
+                                     n_record_mode, params, cfg, outbuf)
         else:
             _write_two_file_chunk(p1, p2, r1, r2, counters, out1, out2,
-                                  singles_out, n_record_mode, params, cfg)
+                                  singles_out, n_record_mode, params, cfg, outbuf)
+        pipe.recycle(p1, p2)
 
     pipe.run(producer, dispatcher, consume)
     return counters
@@ -350,7 +391,8 @@ def _update_pe_counters(c: PECounters, p1: np.ndarray, p2: np.ndarray):
 
 
 def _write_interleaved_chunk(
-    packed, result, counters, out1, singles_out, n_record_mode, params, cfg
+    packed, result, counters, out1, singles_out, n_record_mode, params, cfg,
+    outbuf=None,
 ):
     five, three, first_bad = result
     n = packed.n_records
@@ -380,6 +422,7 @@ def _write_interleaved_chunk(
             assemble_records(
                 packed.data, **fields, five=fv, three=tv,
                 compat=cfg.compat, n_record_mask=mask, qualtype=params.qualtype,
+                out=outbuf,
             )
         )
         return
@@ -397,7 +440,7 @@ def _write_interleaved_chunk(
         out1.write(
             assemble_records(
                 packed.data, **fields, five=fv, three=tv,
-                compat=cfg.compat, qualtype=params.qualtype,
+                compat=cfg.compat, qualtype=params.qualtype, out=outbuf,
             )
         )
     single = p1 ^ p2
@@ -410,13 +453,14 @@ def _write_interleaved_chunk(
         singles_out.write(
             assemble_records(
                 packed.data, **_sel(packed, rows), five=fv, three=tv,
-                compat=cfg.compat, qualtype=params.qualtype,
+                compat=cfg.compat, qualtype=params.qualtype, out=outbuf,
             )
         )
 
 
 def _write_two_file_chunk(
-    p1k, p2k, r1, r2, counters, out1, out2, singles_out, n_record_mode, params, cfg
+    p1k, p2k, r1, r2, counters, out1, out2, singles_out, n_record_mode, params, cfg,
+    outbuf=None,
 ):
     five1, three1, bad1 = r1
     five2, three2, bad2 = r2
@@ -436,13 +480,13 @@ def _write_two_file_chunk(
         out1.write(
             assemble_records(
                 p1k.data, **_sel(p1k, kb), five=f1[kb], three=t1[kb],
-                compat=cfg.compat, qualtype=params.qualtype,
+                compat=cfg.compat, qualtype=params.qualtype, out=outbuf,
             )
         )
         out2.write(
             assemble_records(
                 p2k.data, **_sel(p2k, kb), five=f2[kb], three=t2[kb],
-                compat=cfg.compat, qualtype=params.qualtype,
+                compat=cfg.compat, qualtype=params.qualtype, out=outbuf,
             )
         )
     single = p1 ^ p2
@@ -463,6 +507,6 @@ def _write_two_file_chunk(
         singles_out.write(
             assemble_records(
                 combined, **fields, five=fv, three=tv,
-                compat=cfg.compat, qualtype=params.qualtype,
+                compat=cfg.compat, qualtype=params.qualtype, out=outbuf,
             )
         )

@@ -50,7 +50,6 @@ class GzipChunkWriter(io.RawIOBase):
         self._f.write(b"\x1f\x8b\x08\x00\x00\x00\x00\x00\x00\xff")
 
     def write(self, data) -> int:
-        data = bytes(data)
         self._crc = zlib.crc32(data, self._crc)
         self._size += len(data)
         out = self._comp.compress(data)

@@ -24,6 +24,7 @@ import numpy as np
 
 from ..constants import Compat, QualityType, quality_min
 from ..oracle import FastqRecord, FastqValidationError, validate_record
+from . import native
 
 NEWLINE = 0x0A
 
@@ -81,6 +82,8 @@ class PackedReads:
     positions: np.ndarray  # int32[n_records], 1-based global record index
     n_records: int
 
+    workspace: Optional["PackWorkspace"] = None  # owner of the buffers, if reused
+
     @property
     def batch_size(self) -> int:
         return self.seq.shape[0]
@@ -88,6 +91,46 @@ class PackedReads:
     @property
     def max_len(self) -> int:
         return self.seq.shape[1]
+
+
+class PackWorkspace:
+    """Reusable buffers for one in-flight packed chunk.
+
+    Fresh pages in this container fault at ~400us each; reusing warm
+    buffers across chunks removes that cost from the steady state (see
+    io/native.py).  One workspace is checked out per in-flight chunk by
+    the engine's pool and recycled after the writer finishes with it.
+    """
+
+    def __init__(self):
+        self.capacity = 0  # records
+        self.L = 0
+
+    def ensure(self, max_records: int, L: int, batch_multiple: int) -> None:
+        B = _round_up(max(max_records, 1), batch_multiple)
+        if self.capacity >= B and self.L >= L:
+            return
+        B = max(B, self.capacity)
+        L = max(L, self.L)
+        self.starts4 = np.empty(B * 4, np.int64)
+        self.lens4 = np.empty(B * 4, np.int32)
+        self.seq = np.zeros((B, L), np.uint8)
+        self.qual = np.zeros((B, L), np.uint8)
+        self.lengths = np.zeros(B, np.int32)
+        self.capacity = B
+        self.L = L
+
+
+class OutputBuffer:
+    """Grow-only reusable byte buffer for assembled output."""
+
+    def __init__(self):
+        self.buf = np.empty(1 << 20, np.uint8)
+
+    def ensure(self, n: int) -> np.ndarray:
+        if self.buf.size < n:
+            self.buf = np.empty(max(n, self.buf.size * 2), np.uint8)
+        return self.buf
 
 
 def _round_up(x: int, m: int) -> int:
@@ -137,6 +180,7 @@ def pack_fastq(
     batch_multiple: int = 8,
     len_multiple: int = 128,
     validate: bool = True,
+    workspace: Optional[PackWorkspace] = None,
 ) -> PackedReads:
     """Parse a FASTQ byte buffer into a :class:`PackedReads`.
 
@@ -144,8 +188,16 @@ def pack_fastq(
     4-line batch alignment (src/GZReader.cpp:104-126).  ``start_position``
     is the number of records already consumed before this buffer (for
     chunked streaming; positions stay globally 1-based).
+
+    With ``workspace`` and the native library available, the parse +
+    validate + pack runs as one C++ pass into the workspace's reused
+    buffers; otherwise the vectorized numpy path allocates fresh arrays.
     """
     arr = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    if workspace is not None and native.available():
+        return _pack_fastq_native(
+            arr, workspace, start_position, l_max, batch_multiple, len_multiple
+        )
     starts, ends = _line_index(arr)
     n_lines = starts.size - starts.size % 4
     n = n_lines // 4
@@ -204,6 +256,84 @@ def pack_fastq(
         qual_start=qual_start,
         positions=positions,
         n_records=n,
+        workspace=workspace,  # passed through so pool recycling works
+    )
+
+
+def _raise_validation_error_native(
+    arr: np.ndarray, ws: PackWorkspace, rec: int, start_position: int
+) -> None:
+    def line(k: int) -> bytes:
+        s = ws.starts4[4 * rec + k]
+        return arr[s : s + ws.lens4[4 * rec + k]].tobytes()
+
+    validate_record(
+        FastqRecord(line(0), line(1), line(2), line(3), start_position + rec + 1)
+    )
+    raise FastqValidationError("FASTQ validation failed")  # pragma: no cover
+
+
+def _pack_fastq_native(
+    arr: np.ndarray,
+    ws: PackWorkspace,
+    start_position: int,
+    l_max: Optional[int],
+    batch_multiple: int,
+    len_multiple: int,
+) -> PackedReads:
+    import ctypes
+
+    lib = native.get_lib()
+    n_lines = lib.sk_count_lines(native.ptr(arr, ctypes.c_uint8), arr.size)
+    max_records = max(int(n_lines) // 4 + 1, 1)
+    L = _round_up(max(l_max or 0, 1), len_multiple)
+    ws.ensure(max_records, L, batch_multiple)
+
+    n_out = np.zeros(1, np.int64)
+    max_len = np.zeros(1, np.int64)
+    err_rec = np.full(1, -1, np.int64)
+    for _attempt in range(2):
+        rc = lib.sk_parse_pack(
+            native.ptr(arr, ctypes.c_uint8), arr.size, max_records, ws.L,
+            native.ptr(ws.starts4, ctypes.c_int64),
+            native.ptr(ws.lens4, ctypes.c_int32),
+            native.ptr(ws.seq, ctypes.c_uint8),
+            native.ptr(ws.qual, ctypes.c_uint8),
+            native.ptr(ws.lengths, ctypes.c_int32),
+            native.ptr(n_out, ctypes.c_int64),
+            native.ptr(max_len, ctypes.c_int64),
+            native.ptr(err_rec, ctypes.c_int64),
+            native.N_THREADS,
+        )
+        if rc == 0:
+            break
+        if rc == 1:
+            _raise_validation_error_native(arr, ws, int(err_rec[0]), start_position)
+        # rc == 2: rows longer than L -> grow and retry once
+        ws.ensure(max_records, _round_up(int(max_len[0]), len_multiple), batch_multiple)
+    else:
+        raise AssertionError("native pack failed to size rows")
+
+    n = int(n_out[0])
+    B = _round_up(max(n, 1), batch_multiple)
+    if n < ws.capacity:
+        ws.lengths[n:B] = 0  # padding rows must read as empty
+    starts4 = ws.starts4[: 4 * n].reshape(n, 4)
+    lens4 = ws.lens4[: 4 * n].reshape(n, 4)
+    return PackedReads(
+        data=arr,
+        seq=ws.seq[:B],
+        qual=ws.qual[:B],
+        lengths=ws.lengths[:B],
+        name_start=starts4[:, 0],
+        name_len=lens4[:, 0],
+        seq_start=starts4[:, 1],
+        comment_start=starts4[:, 2],
+        comment_len=lens4[:, 2],
+        qual_start=starts4[:, 3],
+        positions=(start_position + 1 + np.arange(n)).astype(np.int32),
+        n_records=n,
+        workspace=ws,
     )
 
 
@@ -228,7 +358,8 @@ def assemble_records(
     compat: Compat = Compat.V133,
     n_record_mask: Optional[np.ndarray] = None,
     qualtype: QualityType = QualityType.SANGER,
-) -> bytes:
+    out: Optional[OutputBuffer] = None,
+):
     """Emit trimmed FASTQ for the given records, in the given order.
 
     All index arrays must already be filtered/ordered to the records being
@@ -246,6 +377,11 @@ def assemble_records(
     k = name_start.size
     if k == 0:
         return b""
+    if out is not None and native.available():
+        return _assemble_native(
+            src, name_start, name_len, seq_start, comment_start, comment_len,
+            qual_start, five, three, compat, n_record_mask, qualtype, out,
+        )
     # aux bytes appended to the source for constant segments:
     #   [n] = '\n', [n+1] = '+', [n+2] = 'N', [n+3] = lowest qual char
     nsrc = src.size
@@ -283,3 +419,64 @@ def assemble_records(
     flat_lens = seg_lens.reshape(-1)
     idx = np.repeat(flat_starts, flat_lens) + _ragged_arange(flat_lens)
     return full[idx].tobytes()
+
+
+def _assemble_native(
+    src, name_start, name_len, seq_start, comment_start, comment_len,
+    qual_start, five, three, compat, n_record_mask, qualtype,
+    out: OutputBuffer,
+):
+    """Single-pass parallel C++ assembly into a reused output buffer."""
+    import ctypes
+
+    lib = native.get_lib()
+    k = name_start.size
+    rewrite = 1 if compat == Compat.V133 else 0
+
+    def c64(a):
+        return np.ascontiguousarray(a, dtype=np.int64)
+
+    def c32(a):
+        return np.ascontiguousarray(a, dtype=np.int32)
+
+    name_start = c64(name_start)
+    name_len = c32(name_len)
+    seq_start = c64(seq_start)
+    comment_start = c64(comment_start)
+    comment_len = c32(comment_len)
+    qual_start = c64(qual_start)
+    five32 = c32(five)
+    three32 = c32(three)
+
+    cut = (three32 - five32).astype(np.int64)
+    if n_record_mask is not None:
+        mask = np.ascontiguousarray(n_record_mask, dtype=np.uint8)
+        cut = np.where(mask.astype(bool), 1, cut)
+        mask_ptr = native.ptr(mask, ctypes.c_uint8)
+    else:
+        mask_ptr = ctypes.POINTER(ctypes.c_uint8)()
+    com = 1 if rewrite else comment_len.astype(np.int64)
+    sizes = name_len.astype(np.int64) + 2 * cut + com + 4
+    offsets = np.empty(k, np.int64)
+    offsets[0] = 0
+    if k > 1:
+        np.cumsum(sizes[:-1], out=offsets[1:])
+    total = int(offsets[-1] + sizes[-1])
+
+    buf = out.ensure(total)
+    lib.sk_assemble(
+        native.ptr(src, ctypes.c_uint8), k,
+        native.ptr(name_start, ctypes.c_int64),
+        native.ptr(name_len, ctypes.c_int32),
+        native.ptr(seq_start, ctypes.c_int64),
+        native.ptr(comment_start, ctypes.c_int64),
+        native.ptr(comment_len, ctypes.c_int32),
+        native.ptr(qual_start, ctypes.c_int64),
+        native.ptr(five32, ctypes.c_int32),
+        native.ptr(three32, ctypes.c_int32),
+        mask_ptr, rewrite, quality_min(qualtype),
+        native.ptr(offsets, ctypes.c_int64),
+        native.ptr(buf, ctypes.c_uint8),
+        native.N_THREADS,
+    )
+    return memoryview(buf)[:total]
