@@ -1,18 +1,24 @@
 """Single-pass Pallas TPU kernel for the sliding-window trim.
 
 The jnp formulation (ops/trim.py) lowers to several fused-but-separate
-XLA kernels, each re-reading the [B, L] arrays from HBM.  This kernel
-loads each batch tile's seq/qual bytes into VMEM ONCE and computes the
-cuts entirely on-chip, writing only three int32[B] vectors — HBM traffic
-drops to the 2*B*L byte floor (plus outputs), which is the roofline for
+XLA kernels — and its lane-axis ``take_along_axis`` gather is
+catastrophically slow on TPU (~200ms per 64k-read batch measured on
+v5e).  This kernel loads each batch tile's seq/qual bytes into VMEM ONCE
+and computes the cuts entirely on-chip, writing only three int32[B]
+vectors — HBM traffic drops to the 2*B*L byte floor, the roofline for
 this bandwidth-bound scan.
 
-Math identical to ops/trim.py (and the scalar oracle); the rolling-window
-comparison is done via the transform D[j] = C[j] - t*j so that
-``W[i] >= t*w  <=>  D[i+w] >= D[i]`` — and the per-row dynamic shift ``w``
-is resolved by a static loop over the possible window sizes (w in
-[1, max(9, L//10)]), merged with selects.  All VMEM-resident, so the
-extra passes cost VPU cycles, not HBM bandwidth.
+Math identical to ops/trim.py (and the scalar oracle), restructured for
+Mosaic:
+
+* prefix sums as a lower-triangular ones MATMUL on the MXU (Mosaic has
+  no cumsum lowering; f32 is exact here since sums < 2^24);
+* the rolling-window comparison via the transform ``D[j] = C[j] - t*j``
+  so ``W[i] >= t*w  <=>  D[i+w] >= D[i]``, with the per-row dynamic
+  shift ``w`` resolved by a static select-merge loop over the possible
+  window sizes (w in [1, max(9, L//10)]) — all VMEM-resident;
+* every per-row value kept as a 2-D ``[TB, 1]`` column (1-D vectors hit
+  XLA/Mosaic layout mismatches; reductions use ``keepdims=True``).
 """
 
 from __future__ import annotations
@@ -28,26 +34,26 @@ from ..constants import Compat, QUALITY_CONSTANTS
 from .trim import BIG, TrimParams
 
 
-def _first_index_lanes(mask, iota):
-    """Smallest lane index where mask is true, else BIG; [TB] result."""
-    return jnp.min(jnp.where(mask, iota, BIG), axis=1)
+def _first_col(mask, iota):
+    """Smallest lane index where mask is true, else BIG; [TB, 1] column."""
+    return jnp.min(jnp.where(mask, iota, BIG), axis=1, keepdims=True)
 
 
 def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
                  *, params: TrimParams, L: int, wmax: int):
     offset, qmin, qmax = QUALITY_CONSTANTS[params.qualtype]
-    t = jnp.int32(params.qual_threshold)
-    lthr = jnp.int32(params.length_threshold)
+    t = params.qual_threshold
+    lthr = params.length_threshold
 
-    lens = len_ref[:].astype(jnp.int32)  # [TB]
+    lens = len_ref[:].astype(jnp.int32)  # [TB, 1]
     TB = lens.shape[0]
     raw = qual_ref[:].astype(jnp.int32)  # [TB, L]
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, L), 1)
-    in_read = lane < lens[:, None]
+    in_read = lane < lens
 
     # quality range check (strict whole-read; see ops/trim.py docstring)
     badm = in_read & ((raw < qmin) | (raw > qmax))
-    bad_ref[:] = _first_index_lanes(badm, lane)
+    bad_ref[:] = _first_col(badm, lane)
 
     q = raw - offset
     qv = jnp.where(in_read, q, 0)
@@ -56,51 +62,60 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
     w = jnp.where(w == 0, lens, w)
     tw = t * w
 
-    # D[j] = C[j] - t*j over j in [0, L); C = exclusive prefix sum.
-    # (index L is never needed: i + w <= len <= L and when i + w == L the
-    # slot is handled by the padded tail below.)
-    csum = jnp.cumsum(qv, axis=1)
-    c_excl = csum - qv  # exclusive prefix: C[j] = sum q[0..j-1]
+    # D[j] = C[j] - t*j; C = exclusive prefix sum via MXU matmul with a
+    # strictly-lower-triangular ones matrix (exact: sums < 2^24 in f32).
+    tri_excl = (
+        jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        < jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+    ).astype(jnp.float32)
+    c_excl = jax.lax.dot_general(
+        qv.astype(jnp.float32), tri_excl,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)  # C[j] = sum q[0..j-1]
+    total = c_excl[:, L - 1 : L] + qv[:, L - 1 : L]  # C[L] as [TB, 1]
     d = c_excl - t * lane  # D[j], j in [0, L)
-    d_last = (csum[:, L - 1] - t * L)[:, None]  # D[L]
+    d_last = total - t * L  # D[L], [TB, 1]
 
-    # D[i + w] via static loop over window sizes, merged by select
+    # D[i + w] via a static loop over window sizes merged by select, with
+    # the lane shift done by the hardware circular rotate (pltpu.roll).
+    # Lane-dim alternatives fail: dynamic ref slices must be 128-aligned,
+    # value-level dynamic_slice has no lowering, and unaligned
+    # concatenates explode Mosaic compile time.  Wrapped lanes
+    # (i > L - wv) would carry d[0..wv) — overwrite them with D[L]; lane
+    # i == L - wv legitimately needs D[L], larger i are i_valid-masked.
+    d_last_row = jnp.broadcast_to(d_last, (TB, L))
     dw = jnp.zeros_like(d)
     for wv in range(1, wmax + 1):
-        # shift left by wv: slots i in [0, L - wv) from d, tail from D[L]
-        if wv < L:
-            shifted = jnp.concatenate(
-                [d[:, wv:], jnp.broadcast_to(d_last, (TB, wv))], axis=1
-            )
-        else:
-            shifted = jnp.broadcast_to(d_last, (TB, L))
-        dw = jnp.where((w == wv)[:, None], shifted, dw)
+        rolled = pltpu.roll(d, L - wv, axis=1)  # rolled[i] = d[(i+wv) % L]
+        cand = jnp.where(lane >= L - wv, d_last_row, rolled)
+        dw = jnp.where(w == wv, cand, dw)
 
     ii = lane  # window start index i, valid for i <= len - w
-    i_valid = ii <= (lens - w)[:, None]
+    i_valid = ii <= (lens - w)
     hi = i_valid & (dw >= d)
     lo = i_valid & (dw < d)
 
-    i5 = _first_index_lanes(hi, ii)
+    i5 = _first_col(hi, ii)  # [TB, 1]
     found_five = (i5 < BIG) & (lens > 0)
 
     start3 = jnp.zeros_like(i5) if params.no_fiveprime else i5
-    i3 = _first_index_lanes(lo & (ii >= start3[:, None]), ii)
+    i3 = _first_col(lo & (ii >= start3), ii)
     three_trig = i3 < BIG
 
     if params.no_fiveprime:
         five = jnp.zeros_like(i5)
     else:
-        five = _first_index_lanes(in_read & (q >= t) & (lane >= i5[:, None]), lane)
+        five = _first_col(in_read & (q >= t) & (lane >= i5), lane)
         five = jnp.where(found_five, jnp.minimum(five, lens), 0)
 
-    three_hit = _first_index_lanes(in_read & (q < t) & (lane >= i3[:, None]), lane)
+    three_hit = _first_col(in_read & (q < t) & (lane >= i3), lane)
     three = jnp.where(three_trig, jnp.minimum(three_hit, lens), lens)
 
     if params.trunc_n:
         sq = seq_ref[:]
-        up = _first_index_lanes(in_read & (sq == ord("N")), lane)
-        low = _first_index_lanes(in_read & (sq == ord("n")), lane)
+        up = _first_col(in_read & (sq == ord("N")), lane)
+        low = _first_col(in_read & (sq == ord("n")), lane)
         if params.compat == Compat.V133:
             nidx = jnp.where(up < BIG, up, low)
         else:
@@ -117,26 +132,27 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
 
 @functools.partial(jax.jit, static_argnames=("params", "tile_b", "interpret"))
 def compute_cuts_pallas(seq, qual, lengths, params: TrimParams,
-                        tile_b: int = 512, interpret: bool = False):
+                        tile_b: int = 1024, interpret: bool = False):
     """Drop-in replacement for ``compute_cuts_jit`` (same contract)."""
     B, L = qual.shape
+    tile_b = min(tile_b, B)
     if B % tile_b:
         raise ValueError(f"batch {B} not divisible by tile_b {tile_b}")
     wmax = max(9, L // 10)
     grid = (B // tile_b,)
     kernel = functools.partial(_trim_kernel, params=params, L=L, wmax=wmax)
     row_spec = pl.BlockSpec((tile_b, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((tile_b,), lambda i: (i,), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    col_spec = pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    five, three, bad = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[row_spec, row_spec, vec_spec],
-        out_specs=(vec_spec, vec_spec, vec_spec),
+        in_specs=[row_spec, row_spec, col_spec],
+        out_specs=(col_spec, col_spec, col_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((B,), jnp.int32),
-            jax.ShapeDtypeStruct((B,), jnp.int32),
-            jax.ShapeDtypeStruct((B,), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(seq, qual, lengths.astype(jnp.int32))
-    return out
+    )(seq, qual, lengths.astype(jnp.int32).reshape(B, 1))
+    return five[:, 0], three[:, 0], bad[:, 0]

@@ -1,0 +1,64 @@
+"""Pallas kernel (interpret mode) vs the jnp reference formulation.
+
+On real TPU hardware the compiled kernel is additionally verified against
+the jnp path at runtime (see bench.py and ops/trim_pallas.py docstring);
+here we run the Mosaic-interpreted kernel on CPU over the fixture corpus
+and adversarial property batches.
+"""
+
+import numpy as np
+import pytest
+
+from sickle_tpu.constants import Compat, QualityType
+from sickle_tpu.io import pack_fastq
+from sickle_tpu.ops import TrimParams, compute_cuts_jit
+from sickle_tpu.ops.trim_pallas import compute_cuts_pallas
+
+from test_trim_kernel import pack, random_reads
+
+
+def assert_match(seq, qual, lens, params, tile_b=256):
+    f1, t1, b1 = compute_cuts_jit(seq, qual, lens, params)
+    f2, t2, b2 = compute_cuts_pallas(seq, qual, lens, params,
+                                     tile_b=tile_b, interpret=True)
+    for name, a, b in (("five", f1, f2), ("three", t1, t2), ("bad", b1, b2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        (QualityType.SANGER, 60, 20, False, False, Compat.FORK),
+        (QualityType.SANGER, 20, 20, False, True, Compat.V133),
+        (QualityType.ILLUMINA, 30, 30, True, False, Compat.V133),
+        (QualityType.SOLEXA, 20, 5, False, True, Compat.FORK),
+        (QualityType.SANGER, 0, 0, False, False, Compat.V133),
+    ],
+)
+def test_pallas_matches_jnp_fixture(cfg, reference_fixtures):
+    qt, q, l, x, n, compat = cfg
+    data = (reference_fixtures / "test.fastq").read_bytes()
+    p = pack_fastq(data, batch_multiple=256)
+    params = TrimParams(qualtype=qt, qual_threshold=q, length_threshold=l,
+                        no_fiveprime=x, trunc_n=n, compat=compat)
+    assert_match(p.seq, p.qual, p.lengths, params)
+
+
+def test_pallas_matches_jnp_random():
+    rng = np.random.default_rng(7)
+    reads = random_reads(rng, 256, QualityType.SANGER)
+    seq, qual, lens = pack(reads, B=256, L=256)
+    for q in (20, 40):
+        for n in (False, True):
+            params = TrimParams(qual_threshold=q, trunc_n=n)
+            assert_match(seq, qual, lens, params)
+
+
+def test_pallas_small_batch_tile_clamp():
+    # B < tile_b: tile clamps to B
+    seq = np.zeros((8, 128), np.uint8)
+    qual = np.full((8, 128), 70, np.uint8)
+    lens = np.full(8, 100, np.int32)
+    params = TrimParams()
+    f, t, b = compute_cuts_pallas(seq, qual, lens, params, interpret=True)
+    assert f.shape == (8,)
