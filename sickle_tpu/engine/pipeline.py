@@ -61,10 +61,57 @@ class EngineConfig:
 
 
 def default_cuts_fn(params: TrimParams) -> CutsFn:
+    """Backend-aware device step.
+
+    TPU: the Pallas kernel, with the three result vectors stacked into
+    one [3, B] device array so the writer fetches a single D2H transfer
+    per chunk (transfer count dominates on high-latency links).
+    Other backends: the jnp formulation.
+    """
+    import jax
+
+    if jax.default_backend() == "tpu":
+        import jax.numpy as jnp
+
+        from ..ops.trim_pallas import compute_cuts_pallas
+
+        @jax.jit
+        def stacked(seq, qual, lengths):
+            five, three, bad = compute_cuts_pallas(
+                seq, qual, lengths, params, tile_b=_tile_for(seq.shape[0])
+            )
+            return jnp.stack([five, three, bad])
+
+        def fn(seq, qual, lengths):
+            return stacked(seq, qual, lengths)
+
+        return fn
+
     def fn(seq, qual, lengths):
         return compute_cuts_jit(seq, qual, lengths, params)
 
     return fn
+
+
+def _tile_for(b: int) -> int:
+    """Largest batch-tile <= 256 dividing b (engine batches are 8-multiples)."""
+    for t in (256, 128, 64, 32, 16, 8):
+        if b % t == 0:
+            return t
+    return b
+
+
+def _materialize(result, n: int):
+    """Fetch device results -> (five, three, first_bad) numpy arrays.
+
+    Accepts either a (five, three, bad) tuple or a stacked [3, B] array
+    (one transfer)."""
+    if isinstance(result, tuple):
+        five, three, bad = (np.asarray(r) for r in result)
+    else:
+        arr = np.asarray(result)
+        five, three, bad = arr[0], arr[1], arr[2]
+    return five[:n], three[:n], bad
 
 
 def _raise_quality_error(packed: PackedReads, row: int, params: TrimParams):
@@ -207,14 +254,12 @@ def run_se(
             pipe.pack_q.put(packed)
 
     def dispatcher(packed: PackedReads):
-        five, three, first_bad = cuts_fn(packed.seq, packed.qual, packed.lengths)
-        return packed, five, three, first_bad
+        return packed, cuts_fn(packed.seq, packed.qual, packed.lengths)
 
     def consume(item):
-        packed, five, three, first_bad = item
-        five = np.asarray(five)[: packed.n_records]
-        three = np.asarray(three)[: packed.n_records]
-        _check_quality(packed, np.asarray(first_bad), params)
+        packed, result = item
+        five, three, first_bad = _materialize(result, packed.n_records)
+        _check_quality(packed, first_bad, params)
         keep = three >= 0
         kept = int(keep.sum())
         counters.kept += kept
@@ -394,11 +439,11 @@ def _write_interleaved_chunk(
     packed, result, counters, out1, singles_out, n_record_mode, params, cfg,
     outbuf=None,
 ):
-    five, three, first_bad = result
     n = packed.n_records
-    five = np.asarray(five)[:n].astype(np.int64)
-    three = np.asarray(three)[:n].astype(np.int64)
-    _check_quality(packed, np.asarray(first_bad), params)
+    five, three, first_bad = _materialize(result, n)
+    five = five.astype(np.int64)
+    three = three.astype(np.int64)
+    _check_quality(packed, first_bad, params)
     f1, t1 = five[0::2], three[0::2]
     f2, t2 = five[1::2], three[1::2]
     p1, p2 = t1 >= 0, t2 >= 0
@@ -462,15 +507,13 @@ def _write_two_file_chunk(
     p1k, p2k, r1, r2, counters, out1, out2, singles_out, n_record_mode, params, cfg,
     outbuf=None,
 ):
-    five1, three1, bad1 = r1
-    five2, three2, bad2 = r2
     n = p1k.n_records
-    f1 = np.asarray(five1)[:n].astype(np.int64)
-    t1 = np.asarray(three1)[:n].astype(np.int64)
-    f2 = np.asarray(five2)[:n].astype(np.int64)
-    t2 = np.asarray(three2)[:n].astype(np.int64)
-    _check_quality(p1k, np.asarray(bad1), params)
-    _check_quality(p2k, np.asarray(bad2), params)
+    f1, t1, bad1 = _materialize(r1, n)
+    f2, t2, bad2 = _materialize(r2, n)
+    f1, t1 = f1.astype(np.int64), t1.astype(np.int64)
+    f2, t2 = f2.astype(np.int64), t2.astype(np.int64)
+    _check_quality(p1k, bad1, params)
+    _check_quality(p2k, bad2, params)
     p1, p2 = t1 >= 0, t2 >= 0
     _update_pe_counters(counters, p1, p2)
 

@@ -117,16 +117,25 @@ def compute_cuts(
     c_excl = csum - qv  # C[j] = sum q[0..j-1], j in [0, L)
     d = c_excl - t * lane  # D[j]
     d_last = (csum[:, L - 1] - t * L)[:, None]  # D[L]
-    d_last_row = jnp.broadcast_to(d_last, (B, L))
 
-    wmax = max(9, L // 10)
-    w2d = w[:, None]
-    dw = jnp.zeros_like(d)
-    for wv in range(1, wmax + 1):
-        shifted = jnp.concatenate(
-            [d[:, wv:], d_last_row[:, : min(wv, L)]], axis=1
-        ) if wv < L else d_last_row
-        dw = jnp.where(w2d == wv, shifted, dw)
+    if jax.default_backend() == "tpu":
+        # static select-merge over window sizes (lane-gather is ~1000x
+        # slower on TPU)
+        d_last_row = jnp.broadcast_to(d_last, (B, L))
+        wmax = max(9, L // 10)
+        w2d = w[:, None]
+        dw = jnp.zeros_like(d)
+        for wv in range(1, wmax + 1):
+            shifted = jnp.concatenate(
+                [d[:, wv:], d_last_row[:, : min(wv, L)]], axis=1
+            ) if wv < L else d_last_row
+            dw = jnp.where(w2d == wv, shifted, dw)
+    else:
+        # CPU/GPU: one gather of D[i+w] compiles and runs faster than the
+        # unrolled select chain
+        d_full = jnp.concatenate([d, d_last], axis=1)  # D[j], j in [0, L]
+        iw = jnp.minimum(lane + w[:, None], L)
+        dw = jnp.take_along_axis(d_full, iw, axis=1)
 
     ii = lane  # window start i; D[i+w] vs D[i] defined for i <= len - w
     i_valid = ii <= (lens - w)[:, None]
