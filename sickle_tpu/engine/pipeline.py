@@ -254,11 +254,15 @@ def run_se(
             pipe.pack_q.put(packed)
 
     def dispatcher(packed: PackedReads):
-        return packed, cuts_fn(packed.seq, packed.qual, packed.lengths)
+        # dispatch AND fetch on the main thread: all device interaction
+        # stays strictly sequential (concurrent H2D/D2H RPCs stall badly
+        # on high-latency links; device compute is ~0.2ms/chunk, so the
+        # lost overlap is negligible)
+        result = cuts_fn(packed.seq, packed.qual, packed.lengths)
+        return packed, _materialize(result, packed.n_records)
 
     def consume(item):
-        packed, result = item
-        five, three, first_bad = _materialize(result, packed.n_records)
+        packed, (five, three, first_bad) = item
         _check_quality(packed, first_bad, params)
         keep = three >= 0
         kept = int(keep.sum())
@@ -380,9 +384,16 @@ def run_pe(
                 pipe.pack_q.put((p1, p2))
 
     def dispatcher(item):
+        # sequential device interaction incl. the result fetch (see run_se)
         p1, p2 = item
-        r1 = cuts_fn(p1.seq, p1.qual, p1.lengths)
-        r2 = cuts_fn(p2.seq, p2.qual, p2.lengths) if p2 is not None else None
+        r1 = _materialize(
+            cuts_fn(p1.seq, p1.qual, p1.lengths), p1.n_records
+        )
+        r2 = (
+            _materialize(cuts_fn(p2.seq, p2.qual, p2.lengths), p2.n_records)
+            if p2 is not None
+            else None
+        )
         return p1, p2, r1, r2
 
     def consume(item):
@@ -440,7 +451,7 @@ def _write_interleaved_chunk(
     outbuf=None,
 ):
     n = packed.n_records
-    five, three, first_bad = _materialize(result, n)
+    five, three, first_bad = result  # materialized by the dispatcher
     five = five.astype(np.int64)
     three = three.astype(np.int64)
     _check_quality(packed, first_bad, params)
@@ -508,8 +519,8 @@ def _write_two_file_chunk(
     outbuf=None,
 ):
     n = p1k.n_records
-    f1, t1, bad1 = _materialize(r1, n)
-    f2, t2, bad2 = _materialize(r2, n)
+    f1, t1, bad1 = r1  # materialized by the dispatcher
+    f2, t2, bad2 = r2
     f1, t1 = f1.astype(np.int64), t1.astype(np.int64)
     f2, t2 = f2.astype(np.int64), t2.astype(np.int64)
     _check_quality(p1k, bad1, params)
