@@ -26,6 +26,14 @@ FIXTURE = "/root/reference/test/test.fastq"
 def main():
     copies = int(os.environ.get("SICKLE_BENCH_COPIES", "120"))
     repeats = int(os.environ.get("SICKLE_BENCH_REPEATS", "3"))
+    rpc = int(os.environ.get("SICKLE_BENCH_RPC", str(1 << 16)))
+
+    sys.stderr.write("[bench] initializing jax backend...\n")
+    sys.stderr.flush()
+    import jax
+
+    sys.stderr.write(f"[bench] backend={_backend()}\n")
+    sys.stderr.flush()
 
     from sickle_tpu.constants import Compat, QualityType
     from sickle_tpu.engine import EngineConfig, run_se
@@ -36,7 +44,7 @@ def main():
         qualtype=QualityType.SANGER, qual_threshold=60, length_threshold=20,
         compat=Compat.FORK,
     )
-    cfg = EngineConfig(records_per_chunk=1 << 16)
+    cfg = EngineConfig(records_per_chunk=rpc)
     cuts_fn = default_cuts_fn(params)
 
     fixture = open(FIXTURE, "rb").read()
@@ -54,6 +62,8 @@ def main():
             t0 = time.perf_counter()
             run_se(fin, devnull, params, cfg=cfg, cuts_fn=cuts_fn)
             warm_s = time.perf_counter() - t0
+        sys.stderr.write(f"[bench] warmup done in {warm_s:.1f}s\n")
+        sys.stderr.flush()
 
         best = float("inf")
         for _ in range(repeats):

@@ -14,6 +14,26 @@ from .io.native import tune_malloc as _tune_malloc
 
 _tune_malloc()
 
+
+def _enable_jax_compilation_cache() -> None:
+    """Persist XLA compilations across processes (remote TPU compiles in
+    some environments take 60-120s each; the cache makes them one-time)."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "SICKLE_TPU_JAX_CACHE", os.path.expanduser("~/.cache/sickle_tpu_jax")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_jax_compilation_cache()
+
 __version__ = "1.33.0"
 
 __all__ = ["Compat", "QualityType", "__version__"]

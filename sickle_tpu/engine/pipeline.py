@@ -341,8 +341,7 @@ def run_pe(
     """
     cfg = cfg or EngineConfig()
     cuts_fn = cuts_fn or default_cuts_fn(params)
-    n_ws = (cfg.prefetch + 2) * (1 if interleaved else 2)
-    pipe = _Pipeline(cfg.prefetch, n_workspaces=n_ws)
+    pipe = _Pipeline(cfg.prefetch, n_workspaces=cfg.prefetch + 2)
     counters = PECounters()
     state = {"consumed": 0, "l_max": 0}
     outbuf = OutputBuffer()
@@ -350,12 +349,12 @@ def run_pe(
     if interleaved and rpc % 2:
         rpc += 1
 
-    def pack(chunk: bytes) -> PackedReads:
+    def pack(chunk: bytes, batch_multiple: Optional[int] = None) -> PackedReads:
         packed = pack_fastq(
             chunk,
             start_position=state["consumed"],
             l_max=state["l_max"],
-            batch_multiple=rpc,
+            batch_multiple=batch_multiple or rpc,
             workspace=pipe.get_workspace(),
         )
         state["l_max"] = max(state["l_max"], packed.max_len)
@@ -373,41 +372,70 @@ def run_pe(
                 state["consumed"] += packed.n_records
                 pipe.pack_q.put((packed, None))
         else:
+            # pack both mate files' chunks as ONE batch (mate-2 rows after
+            # mate-1 rows): one device call per chunk, one shared source
+            # buffer for output assembly (incl. mixed-source singles)
             for c1, c2 in _pair_chunks_two_file(in1, in2, rpc):
-                p1 = pack(c1)
-                p2 = pack(c2)
-                if p1.n_records != p2.n_records:
+                if not c1.endswith(b"\n"):
+                    c1 += b"\n"  # keep c2's first line separate at EOF
+                n1 = c1.count(b"\n") // 4
+                packed = pack(c1 + c2, batch_multiple=2 * rpc)
+                if packed.n_records != 2 * n1:
                     raise FastqValidationError(
                         "Batch2 and Batch1 have different lengths, exiting"
                     )
-                state["consumed"] += p1.n_records
-                pipe.pack_q.put((p1, p2))
+                state["consumed"] += packed.n_records
+                pipe.pack_q.put((packed, n1))
 
     def dispatcher(item):
         # sequential device interaction incl. the result fetch (see run_se)
-        p1, p2 = item
-        r1 = _materialize(
-            cuts_fn(p1.seq, p1.qual, p1.lengths), p1.n_records
+        packed, n1 = item
+        result = _materialize(
+            cuts_fn(packed.seq, packed.qual, packed.lengths), packed.n_records
         )
-        r2 = (
-            _materialize(cuts_fn(p2.seq, p2.qual, p2.lengths), p2.n_records)
-            if p2 is not None
-            else None
-        )
-        return p1, p2, r1, r2
+        return packed, n1, result
 
     def consume(item):
-        p1, p2, r1, r2 = item
-        if p2 is None:
-            _write_interleaved_chunk(p1, r1, counters, out1, singles_out,
-                                     n_record_mode, params, cfg, outbuf)
+        packed, n1, result = item
+        if interleaved:
+            _write_interleaved_chunk(packed, result, counters, out1,
+                                     singles_out, n_record_mode, params, cfg,
+                                     outbuf)
         else:
+            p1, p2 = _split_packed(packed, n1)
+            f, t, bad = result
+            r1 = (f[:n1], t[:n1], bad[:n1])
+            r2 = (f[n1:], t[n1:], bad[n1:])
             _write_two_file_chunk(p1, p2, r1, r2, counters, out1, out2,
-                                  singles_out, n_record_mode, params, cfg, outbuf)
-        pipe.recycle(p1, p2)
+                                  singles_out, n_record_mode, params, cfg,
+                                  outbuf)
+        pipe.recycle(packed)
 
     pipe.run(producer, dispatcher, consume)
     return counters
+
+
+def _split_packed(packed: PackedReads, n1: int):
+    """Two logical PackedReads views over one combined two-file batch
+    (mate-1 rows [0, n1), mate-2 rows [n1, 2*n1); same data buffer)."""
+    import dataclasses as _dc
+
+    def view(lo, hi, ws):
+        return _dc.replace(
+            packed,
+            lengths=packed.lengths[lo:hi],
+            name_start=packed.name_start[lo:hi],
+            name_len=packed.name_len[lo:hi],
+            seq_start=packed.seq_start[lo:hi],
+            comment_start=packed.comment_start[lo:hi],
+            comment_len=packed.comment_len[lo:hi],
+            qual_start=packed.qual_start[lo:hi],
+            positions=packed.positions[lo:hi],
+            n_records=hi - lo,
+            workspace=ws,
+        )
+
+    return view(0, n1, None), view(n1, 2 * n1, None)
 
 
 def _sel(packed: PackedReads, idx: np.ndarray, offset: int = 0) -> dict:
@@ -546,10 +574,14 @@ def _write_two_file_chunk(
     single = p1 ^ p2
     if single.any() and singles_out is not None:
         # singles come from either source file, in pair order -> one
-        # combined source buffer (mate-2 indices offset past mate-1 bytes)
+        # combined source buffer (already shared when the producer packed
+        # both files as one batch; legacy two-buffer callers concatenate)
         ks = np.flatnonzero(single)
-        combined = np.concatenate([p1k.data, p2k.data])
-        off2 = p1k.data.size
+        if p1k.data is p2k.data:
+            combined, off2 = p1k.data, 0
+        else:
+            combined = np.concatenate([p1k.data, p2k.data])
+            off2 = p1k.data.size
         take1 = p1[ks]
         s1 = _sel(p1k, ks)
         s2 = _sel(p2k, ks, offset=off2)
