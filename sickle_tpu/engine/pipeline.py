@@ -73,17 +73,27 @@ def default_cuts_fn(params: TrimParams) -> CutsFn:
     if jax.default_backend() == "tpu":
         import jax.numpy as jnp
 
+        from ..ops.trim import BIG
         from ..ops.trim_pallas import compute_cuts_pallas
 
         @jax.jit
-        def stacked(seq, qual, lengths):
+        def encoded(seq, qual, lengths):
             five, three, bad = compute_cuts_pallas(
                 seq, qual, lengths, params, tile_b=_tile_for(seq.shape[0])
             )
-            return jnp.stack([five, three, bad])
+            # pack both cuts into one int32/read and reduce the range check
+            # to a single "first bad row" scalar: one small D2H per chunk
+            # (requires L < 32766; read lengths beyond that are rejected
+            # host-side long before here)
+            codes = (three + 1) | ((five + 1) << 16)
+            rows = jnp.arange(lengths.shape[0], dtype=jnp.int32)
+            badrow = jnp.min(
+                jnp.where(bad < lengths.astype(jnp.int32), rows, BIG)
+            )
+            return jnp.concatenate([codes, jnp.full((8,), badrow, jnp.int32)])
 
         def fn(seq, qual, lengths):
-            return stacked(seq, qual, lengths)
+            return encoded(seq, qual, lengths)
 
         return fn
 
@@ -104,13 +114,24 @@ def _tile_for(b: int) -> int:
 def _materialize(result, n: int):
     """Fetch device results -> (five, three, first_bad) numpy arrays.
 
-    Accepts either a (five, three, bad) tuple or a stacked [3, B] array
-    (one transfer)."""
+    Accepts a (five, three, bad) tuple of device arrays, or the TPU path's
+    encoded [B+8] int32 vector (codes + replicated first-bad-row scalar),
+    decoded here into the same contract."""
+    from ..ops.trim import BIG
+
     if isinstance(result, tuple):
         five, three, bad = (np.asarray(r) for r in result)
-    else:
-        arr = np.asarray(result)
-        five, three, bad = arr[0], arr[1], arr[2]
+        return five[:n], three[:n], bad
+    arr = np.asarray(result)
+    codes = arr[:-8]
+    badrow = int(arr[-1])
+    three = (codes & 0xFFFF).astype(np.int32) - 1
+    five = (codes >> 16).astype(np.int32) - 1
+    # reconstruct a per-row first_bad array: BIG everywhere except the
+    # first offending row (exact position re-derived host-side from bytes)
+    bad = np.full(codes.size, BIG, np.int32)
+    if badrow < codes.size:
+        bad[badrow] = 0
     return five[:n], three[:n], bad
 
 

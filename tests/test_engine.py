@@ -110,6 +110,32 @@ def test_pe_interleaved_M_multichunk(fixture_bytes):
     assert c.discard_p == wc.discard_p
 
 
+def test_materialize_encoded_roundtrip():
+    """The TPU path's [B+8] int32 encoding decodes to the tuple contract."""
+    from sickle_tpu.engine.pipeline import _materialize
+    from sickle_tpu.ops.trim import BIG
+
+    rng = np.random.default_rng(3)
+    B = 64
+    five = rng.integers(-1, 200, B).astype(np.int32)
+    three = rng.integers(-1, 256, B).astype(np.int32)
+    discard = rng.random(B) < 0.3
+    five[discard] = -1
+    three[discard] = -1
+    five[~discard] = np.abs(five[~discard])
+    codes = ((three + 1) | ((five + 1) << 16)).astype(np.int32)
+    badrow = 17
+    enc = np.concatenate([codes, np.full(8, badrow, np.int32)])
+    f, t, bad = _materialize(enc, B)
+    np.testing.assert_array_equal(f, five)
+    np.testing.assert_array_equal(t, three)
+    assert bad[badrow] == 0 and (np.delete(bad, badrow) == BIG).all()
+
+    enc_ok = np.concatenate([codes, np.full(8, BIG, np.int32)])
+    _, _, bad = _materialize(enc_ok, B)
+    assert (bad == BIG).all()
+
+
 def test_quality_error_mid_stream():
     rec = b"@r%d\n" + b"A" * 40 + b"\n+\n" + b"I" * 40 + b"\n"
     good = b"".join(rec % i for i in range(300))
