@@ -71,34 +71,89 @@ def default_cuts_fn(params: TrimParams) -> CutsFn:
     import jax
 
     if jax.default_backend() == "tpu":
-        import jax.numpy as jnp
-
-        from ..ops.trim import BIG
-        from ..ops.trim_pallas import compute_cuts_pallas
-
-        @jax.jit
-        def encoded(seq, qual, lengths):
-            five, three, bad = compute_cuts_pallas(
-                seq, qual, lengths, params, tile_b=_tile_for(seq.shape[0])
-            )
-            # pack both cuts into one int32/read and reduce the range check
-            # to a single "first bad row" scalar: one small D2H per chunk
-            # (requires L < 32766; read lengths beyond that are rejected
-            # host-side long before here)
-            codes = (three + 1) | ((five + 1) << 16)
-            rows = jnp.arange(lengths.shape[0], dtype=jnp.int32)
-            badrow = jnp.min(
-                jnp.where(bad < lengths.astype(jnp.int32), rows, BIG)
-            )
-            return jnp.concatenate([codes, jnp.full((8,), badrow, jnp.int32)])
-
-        def fn(seq, qual, lengths):
-            return encoded(seq, qual, lengths)
-
-        return fn
+        return _tpu_cuts_fn(params)
 
     def fn(seq, qual, lengths):
         return compute_cuts_jit(seq, qual, lengths, params)
+
+    return fn
+
+
+def _tpu_cuts_fn(params: TrimParams) -> CutsFn:
+    """TPU device step, shaped for minimum RPC count per chunk:
+
+    * ONE input transfer: qual only (plus seq stacked into the same array
+      when -n needs it); per-row lengths are derived ON DEVICE from the
+      zero padding (quality bytes are never NUL in a valid file — the
+      host verifies that invariant cheaply and falls back to explicit
+      lengths otherwise, preserving the range-check error semantics)
+    * ONE output transfer: (five, three) packed as one int32 per read +
+      the first-bad-row scalar (requires L < 32766; reads that long are
+      rejected host-side long before here)
+
+    Kernel choice: the fused XLA select-merge formulation by default
+    (compiles in seconds, robust); SICKLE_TPU_KERNEL=pallas selects the
+    single-pass Pallas kernel (lowest HBM traffic).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.trim import BIG, compute_cuts
+
+    if os.environ.get("SICKLE_TPU_KERNEL") == "pallas":
+        from ..ops.trim_pallas import compute_cuts_pallas
+
+        def kernel(seq, qual, lengths):
+            return compute_cuts_pallas(
+                seq, qual, lengths, params, tile_b=_tile_for(seq.shape[0])
+            )
+    else:
+        def kernel(seq, qual, lengths):
+            return compute_cuts(seq, qual, lengths, params)
+
+    def encode(seq, qual, lengths):
+        five, three, bad = kernel(seq, qual, lengths)
+        codes = (three + 1) | ((five + 1) << 16)
+        rows = jnp.arange(lengths.shape[0], dtype=jnp.int32)
+        badrow = jnp.min(jnp.where(bad < lengths, rows, BIG))
+        return jnp.concatenate([codes, jnp.full((8,), badrow, jnp.int32)])
+
+    def derive_lengths(qual):
+        lane = jax.lax.broadcasted_iota(jnp.int32, qual.shape, 1)
+        padded = jnp.where(qual == 0, lane, qual.shape[1])
+        return jnp.min(padded, axis=1)
+
+    @jax.jit
+    def step_q(qual):  # no -n: qual only
+        lengths = derive_lengths(qual)
+        return encode(qual, qual, lengths)  # seq unused by the kernel
+
+    @jax.jit
+    def step_sq(stacked):  # -n: [2, B, L] seq+qual in one transfer
+        seq, qual = stacked[0], stacked[1]
+        lengths = derive_lengths(qual)
+        return encode(seq, qual, lengths)
+
+    @jax.jit
+    def step_explicit(seq, qual, lengths):  # fallback: NUL bytes in qual
+        return encode(seq, qual, lengths.astype(jnp.int32))
+
+    needs_seq = params.trunc_n
+
+    def fn(seq, qual, lengths):
+        lengths = np.asarray(lengths)
+        # padding-derivation invariant: zero bytes in `qual` are exactly
+        # the padding.  (A NUL inside a read is an invalid quality char;
+        # route through the explicit path so it errors, not truncates.)
+        n_zero = qual.size - int(np.count_nonzero(qual))
+        expected_pad = qual.size - int(lengths.sum())
+        if n_zero != expected_pad:
+            return step_explicit(seq, qual, lengths)
+        if needs_seq:
+            return step_sq(np.stack([seq, qual]))
+        return step_q(qual)
 
     return fn
 

@@ -132,7 +132,7 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
 
 @functools.partial(jax.jit, static_argnames=("params", "tile_b", "interpret"))
 def compute_cuts_pallas(seq, qual, lengths, params: TrimParams,
-                        tile_b: int = 1024, interpret: bool = False):
+                        tile_b: int = 256, interpret: bool = False):
     """Drop-in replacement for ``compute_cuts_jit`` (same contract)."""
     B, L = qual.shape
     tile_b = min(tile_b, B)

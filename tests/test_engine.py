@@ -110,6 +110,38 @@ def test_pe_interleaved_M_multichunk(fixture_bytes):
     assert c.discard_p == wc.discard_p
 
 
+def test_tpu_step_matches_reference_path(fixture_bytes):
+    """The RPC-minimized TPU step (device-derived lengths + encoded
+    results) must agree with the plain kernel; runs on CPU (the step is
+    backend-agnostic)."""
+    from sickle_tpu.engine.pipeline import _materialize, _tpu_cuts_fn
+    from sickle_tpu.io import pack_fastq
+    from sickle_tpu.ops import compute_cuts_jit
+
+    p = pack_fastq(fixture_bytes, batch_multiple=256)
+    for trunc_n in (False, True):
+        params = TrimParams(
+            qualtype=QualityType.SANGER, qual_threshold=60,
+            trunc_n=trunc_n, compat=Compat.FORK,
+        )
+        fn = _tpu_cuts_fn(params)
+        got = _materialize(fn(p.seq, p.qual, p.lengths), p.n_records)
+        want = _materialize(
+            compute_cuts_jit(p.seq, p.qual, p.lengths, params), p.n_records
+        )
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+
+    # NUL byte inside a read -> explicit-lengths fallback (not truncation):
+    # the kernel must flag the row as a quality violation
+    qual2 = p.qual.copy()
+    qual2[5, 10] = 0
+    params = TrimParams(qualtype=QualityType.SANGER, qual_threshold=60)
+    fn = _tpu_cuts_fn(params)
+    f, t, bad = _materialize(fn(p.seq, qual2, p.lengths), p.n_records)
+    assert bad[5] < p.lengths[5]
+
+
 def test_materialize_encoded_roundtrip():
     """The TPU path's [B+8] int32 encoding decodes to the tuple contract."""
     from sickle_tpu.engine.pipeline import _materialize
