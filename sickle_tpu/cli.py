@@ -34,15 +34,41 @@ from .constants import (
 )
 from .engine import EngineConfig, run_pe, run_se
 from .io.compression import open_input, open_output
-from .oracle import SickleError
+from .oracle import PECounters, SECounters, SickleError
 from .ops import TrimParams
+
+
+def _merge_counters(counters):
+    """Sum counters across hosts in a multi-host run (psum over the
+    coordination fabric); no-op single-host.  The printed summary then
+    reports GLOBAL totals on every host."""
+    import jax
+
+    if jax.process_count() == 1:
+        return counters
+    from .parallel.dist import allreduce_host_counters
+
+    if isinstance(counters, SECounters):
+        t, k, d = allreduce_host_counters(
+            [counters.total, counters.kept, counters.discarded]
+        )
+        return SECounters(total=t, kept=k, discarded=d)
+    vals = allreduce_host_counters([
+        counters.total, counters.kept_p, counters.kept_s1, counters.kept_s2,
+        counters.discard_p, counters.discard_s1, counters.discard_s2,
+    ])
+    return PECounters(*vals)
 
 DEFAULT_RECORDS_PER_CHUNK = 1 << 16
 
 
 def _msg(debug: bool, text: str) -> None:
     if debug:
-        print(text)
+        from .utils import set_debug
+        from .utils.logging import msg as _log_msg
+
+        set_debug(True)
+        _log_msg(text)
 
 
 def main_usage(status: int) -> int:
@@ -307,6 +333,7 @@ def se_main(argv: List[str]) -> int:
         sys.stderr.write(e.message + "\n")
         return e.exit_code
 
+    counters = _merge_counters(counters)
     if not quiet:
         sys.stdout.write(
             f"\nSE input file: {infn}\n\n"
@@ -491,6 +518,7 @@ def pe_main(argv: List[str]) -> int:
             if s is not sys.stdout.buffer:
                 s.close()
 
+    counters = _merge_counters(counters)
     if not quiet:
         c = counters
         if infn and infn2:
