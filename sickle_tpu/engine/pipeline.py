@@ -53,25 +53,34 @@ class EngineConfig:
 
     ``records_per_chunk`` plays the role of the reference's -b batch size
     (bytes), but counted in records so device shapes stay constant.
+    ``slice_rows`` is the device RPC granularity: each host chunk is
+    dispatched as B/slice_rows independent sub-batches so (a) one
+    compiled executable serves every chunk including the ragged last one
+    (chunks are padded only to a slice multiple, not to a full chunk) and
+    (b) each H2D transfer stays small — measured on the tunneled-TPU
+    link, sub-MB RPCs sustain ~5-10x the throughput of multi-MB ones.
+    ``inflight`` sub-batches are kept in flight so transfers overlap
+    device compute without concurrent host-side RPC issue.
     """
 
     records_per_chunk: int = 1 << 16
     prefetch: int = 2
     compat: Compat = Compat.V133
+    slice_rows: int = 4096
+    inflight: int = 4
 
 
-def default_cuts_fn(params: TrimParams) -> CutsFn:
+def default_cuts_fn(params: TrimParams, cfg: Optional[EngineConfig] = None) -> CutsFn:
     """Backend-aware device step.
 
-    TPU: the Pallas kernel, with the three result vectors stacked into
-    one [3, B] device array so the writer fetches a single D2H transfer
-    per chunk (transfer count dominates on high-latency links).
-    Other backends: the jnp formulation.
+    TPU: sliced sub-batch dispatch (see EngineConfig.slice_rows).
+    Other backends: the jnp formulation in one call.
     """
     import jax
 
+    cfg = cfg or EngineConfig()
     if jax.default_backend() == "tpu":
-        return _tpu_cuts_fn(params)
+        return _tpu_cuts_fn(params, cfg.slice_rows, cfg.inflight)
 
     def fn(seq, qual, lengths):
         return compute_cuts_jit(seq, qual, lengths, params)
@@ -79,16 +88,21 @@ def default_cuts_fn(params: TrimParams) -> CutsFn:
     return fn
 
 
-def _tpu_cuts_fn(params: TrimParams) -> CutsFn:
-    """TPU device step, shaped for minimum RPC count per chunk:
+def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
+                 inflight: int = 4) -> CutsFn:
+    """TPU device step, shaped for the tunneled-TPU link:
 
-    * ONE input transfer: qual only (plus seq stacked into the same array
-      when -n needs it); per-row lengths are derived ON DEVICE from the
-      zero padding (quality bytes are never NUL in a valid file — the
-      host verifies that invariant cheaply and falls back to explicit
-      lengths otherwise, preserving the range-check error semantics)
-    * ONE output transfer: (five, three) packed as one int32 per read +
-      the first-bad-row scalar (requires L < 32766; reads that long are
+    * qual-only input (seq stacked into the same array only when -n needs
+      it); per-row lengths are derived ON DEVICE from the zero padding
+      (quality bytes are never NUL in a valid file — the host verifies
+      that invariant cheaply and falls back to explicit lengths
+      otherwise, preserving the range-check error semantics)
+    * the chunk is dispatched as [slice_rows, L] sub-batches with an
+      ``inflight`` window: small RPCs ride the link's fast path and
+      transfers overlap compute, while all device interaction stays on
+      the calling thread
+    * per sub-batch output: (five, three) packed as one int32 per read +
+      a first-bad-row scalar (requires L < 32766; reads that long are
       rejected host-side long before here)
 
     Kernel choice: the fused XLA select-merge formulation by default
@@ -141,19 +155,50 @@ def _tpu_cuts_fn(params: TrimParams) -> CutsFn:
         return encode(seq, qual, lengths.astype(jnp.int32))
 
     needs_seq = params.trunc_n
+    SL = slice_rows
+
+    def decode_slices(outs, B):
+        """Per-slice [SL+8] code vectors -> (five, three, bad) over B rows."""
+        codes = np.concatenate([o[:-8] for o in outs])
+        three = (codes & 0xFFFF).astype(np.int32) - 1
+        five = (codes >> 16).astype(np.int32) - 1
+        bad = np.full(B, BIG, np.int32)
+        for k, o in enumerate(outs):
+            badrow = int(o[-1])
+            if badrow < SL:
+                bad[k * SL + badrow] = 0  # position re-derived host-side
+        return five, three, bad
 
     def fn(seq, qual, lengths):
         lengths = np.asarray(lengths)
+        B = qual.shape[0]
         # padding-derivation invariant: zero bytes in `qual` are exactly
         # the padding.  (A NUL inside a read is an invalid quality char;
         # route through the explicit path so it errors, not truncates.)
         n_zero = qual.size - int(np.count_nonzero(qual))
         expected_pad = qual.size - int(lengths.sum())
-        if n_zero != expected_pad:
-            return step_explicit(seq, qual, lengths)
-        if needs_seq:
-            return step_sq(np.stack([seq, qual]))
-        return step_q(qual)
+        if n_zero != expected_pad or B % SL:
+            r = step_explicit(seq, qual, lengths)
+            arr = np.asarray(r)
+            codes, badrow = arr[:-8], int(arr[-1])
+            three = (codes & 0xFFFF).astype(np.int32) - 1
+            five = (codes >> 16).astype(np.int32) - 1
+            bad = np.full(B, BIG, np.int32)
+            if badrow < B:
+                bad[badrow] = 0
+            return five, three, bad
+
+        futs: list = []
+        outs: list = []
+        for i in range(0, B, SL):
+            if needs_seq:
+                futs.append(step_sq(np.stack([seq[i : i + SL], qual[i : i + SL]])))
+            else:
+                futs.append(step_q(qual[i : i + SL]))
+            if len(futs) > inflight:
+                outs.append(np.asarray(futs.pop(0)))
+        outs.extend(np.asarray(f) for f in futs)
+        return decode_slices(outs, B)
 
     return fn
 
@@ -220,7 +265,7 @@ class _Pipeline:
     stages drain their queues so no peer can block forever.
     """
 
-    def __init__(self, prefetch: int, n_workspaces: int = 0):
+    def __init__(self, prefetch: int, n_workspaces: int = 0, need_seq: bool = True):
         self.pack_q: queue.Queue = queue.Queue(maxsize=prefetch)
         self.write_q: queue.Queue = queue.Queue(maxsize=prefetch)
         self.errors: list = []
@@ -229,7 +274,7 @@ class _Pipeline:
         # producer checks out, writer recycles after materializing results
         self.ws_pool: queue.Queue = queue.Queue()
         for _ in range(n_workspaces):
-            self.ws_pool.put(PackWorkspace())
+            self.ws_pool.put(PackWorkspace(need_seq=need_seq))
 
     def get_workspace(self) -> PackWorkspace:
         # stop-aware: when the writer fails, drained chunks are never
@@ -310,8 +355,9 @@ def run_se(
 ) -> SECounters:
     """Trim a single-end stream; returns exact global counters."""
     cfg = cfg or EngineConfig()
-    cuts_fn = cuts_fn or default_cuts_fn(params)
-    pipe = _Pipeline(cfg.prefetch, n_workspaces=cfg.prefetch + 2)
+    cuts_fn = cuts_fn or default_cuts_fn(params, cfg)
+    pipe = _Pipeline(cfg.prefetch, n_workspaces=cfg.prefetch + 2,
+                     need_seq=params.trunc_n)
     counters = SECounters()
     state = {"consumed": 0, "l_max": 0}
     outbuf = OutputBuffer()
@@ -322,8 +368,9 @@ def run_se(
                 chunk,
                 start_position=state["consumed"],
                 l_max=state["l_max"],
-                batch_multiple=cfg.records_per_chunk,
+                batch_multiple=cfg.slice_rows,
                 workspace=pipe.get_workspace(),
+                need_seq=params.trunc_n,
             )
             state["consumed"] += packed.n_records
             state["l_max"] = max(state["l_max"], packed.max_len)
@@ -416,22 +463,27 @@ def run_pe(
     (or two N records).
     """
     cfg = cfg or EngineConfig()
-    cuts_fn = cuts_fn or default_cuts_fn(params)
-    pipe = _Pipeline(cfg.prefetch, n_workspaces=cfg.prefetch + 2)
+    cuts_fn = cuts_fn or default_cuts_fn(params, cfg)
+    pipe = _Pipeline(cfg.prefetch, n_workspaces=cfg.prefetch + 2,
+                     need_seq=params.trunc_n)
     counters = PECounters()
     state = {"consumed": 0, "l_max": 0}
     outbuf = OutputBuffer()
     rpc = cfg.records_per_chunk
     if interleaved and rpc % 2:
         rpc += 1
+    # slice_rows is even (power of two), so mates packed adjacently in an
+    # interleaved chunk always land in the same padded batch
+    bm = cfg.slice_rows if cfg.slice_rows % 2 == 0 else 2 * cfg.slice_rows
 
     def pack(chunk: bytes, batch_multiple: Optional[int] = None) -> PackedReads:
         packed = pack_fastq(
             chunk,
             start_position=state["consumed"],
             l_max=state["l_max"],
-            batch_multiple=batch_multiple or rpc,
+            batch_multiple=batch_multiple or bm,
             workspace=pipe.get_workspace(),
+            need_seq=params.trunc_n,
         )
         state["l_max"] = max(state["l_max"], packed.max_len)
         return packed
@@ -455,7 +507,7 @@ def run_pe(
                 if not c1.endswith(b"\n"):
                     c1 += b"\n"  # keep c2's first line separate at EOF
                 n1 = c1.count(b"\n") // 4
-                packed = pack(c1 + c2, batch_multiple=2 * rpc)
+                packed = pack(c1 + c2)
                 if packed.n_records != 2 * n1:
                     raise FastqValidationError(
                         "Batch2 and Batch1 have different lengths, exiting"

@@ -62,21 +62,24 @@ struct PackCtx {
   const int64_t* starts4;
   const int32_t* lens4;
   int64_t L;
-  uint8_t* seq;
+  uint8_t* seq;  // may alias qual when need_seq == 0
   uint8_t* qual;
   int32_t* lengths;
+  int need_seq;
 };
 
 static void pack_body(int64_t lo, int64_t hi, void* vctx) {
   PackCtx* c = static_cast<PackCtx*>(vctx);
   for (int64_t r = lo; r < hi; r++) {
     int32_t len = c->lens4[4 * r + 1];
-    uint8_t* srow = c->seq + r * c->L;
     uint8_t* qrow = c->qual + r * c->L;
-    memcpy(srow, c->data + c->starts4[4 * r + 1], len);
     memcpy(qrow, c->data + c->starts4[4 * r + 3], len);
-    memset(srow + len, 0, c->L - len);
     memset(qrow + len, 0, c->L - len);
+    if (c->need_seq) {
+      uint8_t* srow = c->seq + r * c->L;
+      memcpy(srow, c->data + c->starts4[4 * r + 1], len);
+      memset(srow + len, 0, c->L - len);
+    }
     c->lengths[r] = len;
   }
 }
@@ -90,7 +93,8 @@ static void pack_body(int64_t lo, int64_t hi, void* vctx) {
 int sk_parse_pack(const uint8_t* data, int64_t n, int64_t max_records,
                   int64_t L, int64_t* starts4, int32_t* lens4, uint8_t* seq,
                   uint8_t* qual, int32_t* lengths, int64_t* out_n_records,
-                  int64_t* out_max_len, int64_t* err_record, int n_threads) {
+                  int64_t* out_max_len, int64_t* err_record, int n_threads,
+                  int need_seq) {
   // 1) line index (serial memchr scan)
   int64_t n_lines = 0;
   int64_t max_lines = max_records * 4;
@@ -125,7 +129,7 @@ int sk_parse_pack(const uint8_t* data, int64_t n, int64_t max_records,
   if (max_len > L) return 2;
 
   // 3) pack rows (parallel memcpy)
-  PackCtx ctx{data, starts4, lens4, L, seq, qual, lengths};
+  PackCtx ctx{data, starts4, lens4, L, seq, qual, lengths, need_seq};
   parallel_for(n_records, n_threads, pack_body, &ctx);
   return 0;
 }

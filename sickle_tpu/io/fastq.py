@@ -102,9 +102,10 @@ class PackWorkspace:
     the engine's pool and recycled after the writer finishes with it.
     """
 
-    def __init__(self):
+    def __init__(self, need_seq: bool = True):
         self.capacity = 0  # records
         self.L = 0
+        self.need_seq = need_seq
 
     def ensure(self, max_records: int, L: int, batch_multiple: int) -> None:
         B = _round_up(max(max_records, 1), batch_multiple)
@@ -114,8 +115,10 @@ class PackWorkspace:
         L = max(L, self.L)
         self.starts4 = np.empty(B * 4, np.int64)
         self.lens4 = np.empty(B * 4, np.int32)
-        self.seq = np.zeros((B, L), np.uint8)
         self.qual = np.zeros((B, L), np.uint8)
+        # when the kernel never reads seq (no -n), alias it to qual: no
+        # second 16MB buffer, no second memcpy pass in the packer
+        self.seq = np.zeros((B, L), np.uint8) if self.need_seq else self.qual
         self.lengths = np.zeros(B, np.int32)
         self.capacity = B
         self.L = L
@@ -178,9 +181,10 @@ def pack_fastq(
     start_position: int = 0,
     l_max: Optional[int] = None,
     batch_multiple: int = 8,
-    len_multiple: int = 128,
+    len_multiple: int = 8,
     validate: bool = True,
     workspace: Optional[PackWorkspace] = None,
+    need_seq: bool = True,
 ) -> PackedReads:
     """Parse a FASTQ byte buffer into a :class:`PackedReads`.
 
@@ -196,7 +200,8 @@ def pack_fastq(
     arr = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
     if workspace is not None and native.available():
         return _pack_fastq_native(
-            arr, workspace, start_position, l_max, batch_multiple, len_multiple
+            arr, workspace, start_position, l_max, batch_multiple, len_multiple,
+            need_seq,
         )
     starts, ends = _line_index(arr)
     n_lines = starts.size - starts.size % 4
@@ -225,18 +230,19 @@ def pack_fastq(
     L = _round_up(max(l_max or 0, max_len, 1), len_multiple)
     B = _round_up(max(n, 1), batch_multiple)
 
-    seq = np.zeros((B, L), dtype=np.uint8)
     qual = np.zeros((B, L), dtype=np.uint8)
+    seq = np.zeros((B, L), dtype=np.uint8) if need_seq else qual
     lengths = np.zeros(B, dtype=np.int32)
     if n:
         lengths[:n] = seq_len
         lane = np.arange(L, dtype=np.int64)
         valid = lane[None, :] < seq_len[:, None]
-        np.copyto(
-            seq[:n],
-            arr[np.minimum(seq_start[:, None] + lane[None, :], arr.size - 1)],
-            where=valid,
-        )
+        if need_seq:
+            np.copyto(
+                seq[:n],
+                arr[np.minimum(seq_start[:, None] + lane[None, :], arr.size - 1)],
+                where=valid,
+            )
         np.copyto(
             qual[:n],
             arr[np.minimum(qual_start[:, None] + lane[None, :], arr.size - 1)],
@@ -280,9 +286,12 @@ def _pack_fastq_native(
     l_max: Optional[int],
     batch_multiple: int,
     len_multiple: int,
+    need_seq: bool = True,
 ) -> PackedReads:
     import ctypes
 
+    if not need_seq:
+        ws.need_seq = False
     lib = native.get_lib()
     n_lines = lib.sk_count_lines(native.ptr(arr, ctypes.c_uint8), arr.size)
     max_records = max(int(n_lines) // 4 + 1, 1)
@@ -304,6 +313,7 @@ def _pack_fastq_native(
             native.ptr(max_len, ctypes.c_int64),
             native.ptr(err_rec, ctypes.c_int64),
             native.N_THREADS,
+            1 if need_seq else 0,
         )
         if rc == 0:
             break

@@ -186,3 +186,48 @@ def test_validation_error_mid_stream():
     with pytest.raises(oracle.FastqValidationError) as e:
         se_run(good + bad, 64)
     assert "different lengths" in e.value.message
+
+
+def test_sliced_tpu_cuts_fn_matches_oracle(fixture_bytes):
+    """The TPU sliced-dispatch path (built by _tpu_cuts_fn) must produce
+    byte-identical output to the default path at any slice size,
+    including ragged last chunks, -n (stacked seq+qual transfer), and the
+    explicit-lengths fallback.  Runs on CPU: the fn is backend-agnostic;
+    only its RPC shaping is TPU-motivated."""
+    from sickle_tpu.engine.pipeline import _tpu_cuts_fn
+
+    data = fixture_bytes[: fixture_bytes.find(b"\n@", 4 * 80 * 600)]
+    p = params60()
+    want, cw = se_run(data, 256)
+    for slice_rows, inflight in ((8, 2), (64, 1), (256, 4)):
+        fn = _tpu_cuts_fn(p, slice_rows=slice_rows, inflight=inflight)
+        cfg = EngineConfig(records_per_chunk=256, compat=Compat.FORK,
+                           slice_rows=slice_rows, inflight=inflight)
+        out = io.BytesIO()
+        c = run_se(io.BytesIO(data), out, p, cfg=cfg, cuts_fn=fn)
+        assert out.getvalue() == want
+        assert (c.total, c.kept, c.discarded) == (cw.total, cw.kept, cw.discarded)
+
+
+def test_sliced_tpu_cuts_fn_trunc_n_and_badqual():
+    from sickle_tpu.engine.pipeline import _tpu_cuts_fn
+
+    p = TrimParams(qualtype=QualityType.SANGER, qual_threshold=30,
+                   trunc_n=True, compat=Compat.FORK)
+    rec = b"@r%d\nACGTNACGTACGTACGTACGTACGTACGTACGT\n+\n" + b"I" * 33 + b"\n"
+    data = b"".join(rec % i for i in range(100))
+    fn = _tpu_cuts_fn(p, slice_rows=16, inflight=2)
+    cfg = EngineConfig(records_per_chunk=64, slice_rows=16, compat=Compat.FORK)
+    out = io.BytesIO()
+    run_se(io.BytesIO(data), out, p, cfg=cfg, cuts_fn=fn)
+    ref = io.BytesIO()
+    run_se(io.BytesIO(data), ref, p, cfg=EngineConfig(records_per_chunk=64))
+    assert out.getvalue() == ref.getvalue()
+
+    # quality error flagged through the sliced badrow scalar, exact message
+    urec = b"@q\nACGTNACGTACGTACGTACGTACGTACGTACGT\n+\n" + b"I" * 33 + b"\n"
+    bad = urec * 20 + b"@rbad\nACGT\n+\nI\x1fII\n" + urec * 20
+    with pytest.raises(oracle.QualityRangeError) as e:
+        out = io.BytesIO()
+        run_se(io.BytesIO(bad), out, p, cfg=cfg, cuts_fn=fn)
+    assert "@rbad" in e.value.message

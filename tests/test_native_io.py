@@ -64,10 +64,11 @@ def test_native_pack_long_read_retry():
     ws = PackWorkspace()
     small = b"@r1\n" + b"A" * 100 + b"\n+\n" + b"I" * 100 + b"\n"
     pack_fastq(small, workspace=ws)
-    assert ws.L == 128
+    assert ws.L == 104  # rounded to len_multiple=8, not a lane multiple:
+    # wire bytes dominate on the tunneled link and XLA pads lanes on-chip
     big = b"@r2\n" + b"A" * 300 + b"\n+\n" + b"I" * 300 + b"\n"
     p = pack_fastq(big, workspace=ws)
-    assert ws.L >= 384
+    assert ws.L >= 300
     assert p.lengths[0] == 300
     assert p.seq[0, :300].tobytes() == b"A" * 300
 
