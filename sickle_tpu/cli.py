@@ -21,6 +21,7 @@ size is record-counted internally (fixed device shapes), derived from -b.
 
 from __future__ import annotations
 
+import dataclasses
 import getopt
 import sys
 from typing import List, Optional
@@ -111,6 +112,7 @@ Options:
 --compat, Behavior where the fork and sickle 1.33 disagree: '1.33' (default, '+' comment rewrite) or 'fork' (comment verbatim).
 --devices, Number of accelerator chips to shard each batch over. Default: all.
 --profile, Write a JAX profiler trace to the given directory.
+--checkpoint, Sidecar file making the run restartable (re-run the same command to resume; plain output only).
 --quiet, Don't print out any trimming information
 --help, display this help and exit
 --version, output version information and exit
@@ -152,6 +154,7 @@ Paired-end interleaved reads
 --compat, Behavior where the fork and sickle 1.33 disagree: '1.33' (default) or 'fork'.
 --devices, Number of accelerator chips to shard each batch over. Default: all.
 --profile, Write a JAX profiler trace to the given directory.
+--checkpoint, Sidecar file making the run restartable (re-run the same command to resume; plain output only).
 -g, --gzip-output, Output gzipped files.
 --quiet, do not output trimming info
 --help, display this help and exit
@@ -206,6 +209,24 @@ def _build_cuts_fn(params: TrimParams, devices: Optional[int], rpc: int):
     return sharded_cuts_fn(params, mesh), rpc
 
 
+def _open_resumable(path: str):
+    """Open an output for checkpointed writing (create if missing)."""
+    try:
+        return open(path, "r+b")
+    except FileNotFoundError:
+        return open(path, "w+b")
+
+
+def _checkpoint_path(base: str) -> str:
+    """Per-host checkpoint file in multi-host runs (independent input
+    shards advance independently)."""
+    import jax
+
+    if jax.process_count() > 1:
+        return f"{base}.host{jax.process_index()}"
+    return base
+
+
 class _Profile:
     def __init__(self, trace_dir: Optional[str]):
         self.trace_dir = trace_dir
@@ -230,7 +251,7 @@ def se_main(argv: List[str]) -> int:
         "fastq-file=", "output-file=", "qual-type=", "qual-threshold=",
         "length-threshold=", "no-fiveprime", "discard-n", "gzip-output",
         "quiet", "threads=", "batch=", "compat=", "devices=", "profile=",
-        "help", "version",
+        "checkpoint=", "help", "version",
     ]
     try:
         opts, extra = getopt.gnu_getopt(argv, "df:t:o:q:a:b:l:zxng", longopts)
@@ -246,6 +267,7 @@ def se_main(argv: List[str]) -> int:
     devices = None
     compat = Compat.V133
     profile = None
+    ckfn = None
 
     for o, a in opts:
         if o in ("-f", "--fastq-file"):
@@ -286,6 +308,8 @@ def se_main(argv: List[str]) -> int:
             devices = int(a)
         elif o == "--profile":
             profile = a
+        elif o == "--checkpoint":
+            ckfn = a
         elif o == "--help":
             sys.stdout.write(SE_USAGE)
             return 0
@@ -315,14 +339,39 @@ def se_main(argv: List[str]) -> int:
     cuts_fn, rpc = _build_cuts_fn(params, devices, rpc)
     cfg = EngineConfig(records_per_chunk=rpc, compat=compat)
 
+    counters_in = None
+    ck = None
+    if ckfn:
+        if gzip_out:
+            sys.stderr.write(
+                "****Error: --checkpoint requires plain (non-gzip) output.\n\n"
+            )
+            return 1
+        from .engine.checkpoint import TrimCheckpoint, progress_saver, resume_outputs
+
+        ck = TrimCheckpoint(_checkpoint_path(ckfn))
+        st = ck.load()
+
     _msg(debug, "trim_main()")
     _msg(debug, f"Building reader for {infn}")
     try:
         with open_input(infn) as fin:
-            out = open_output(outfn, gzip_out)
+            if ck is not None:
+                out = _open_resumable(outfn)
+                if st is not None:
+                    resume_outputs(st, {outfn: out})
+                    counters_in = SECounters(**st.counters)
+                    cfg.skip_records = st.records_done
+                    _msg(debug, f"Resuming at record {st.records_done}")
+                cfg.progress_cb = progress_saver(
+                    ck, dataclasses.asdict, {outfn: out}
+                )
+            else:
+                out = open_output(outfn, gzip_out)
             try:
                 with _Profile(profile):
-                    counters = run_se(fin, out, params, cfg=cfg, cuts_fn=cuts_fn)
+                    counters = run_se(fin, out, params, cfg=cfg,
+                                      cuts_fn=cuts_fn, counters=counters_in)
             finally:
                 if out is not sys.stdout.buffer:
                     out.close()
@@ -350,7 +399,7 @@ def pe_main(argv: List[str]) -> int:
         "output-pe1=", "output-pe2=", "output-single=", "output-interleaved=",
         "output-n=", "qual-threshold=", "length-threshold=", "no-fiveprime",
         "truncate-n", "gzip-output", "quiet", "threads=", "batch=",
-        "compat=", "devices=", "profile=", "help", "version",
+        "compat=", "devices=", "profile=", "checkpoint=", "help", "version",
     ]
     try:
         opts, extra = getopt.gnu_getopt(argv, "df:r:c:t:o:p:m:M:s:q:a:b:l:xng", longopts)
@@ -368,6 +417,7 @@ def pe_main(argv: List[str]) -> int:
     devices = None
     compat = Compat.V133
     profile = None
+    ckfn = None
 
     for o, a in opts:
         if o in ("-f", "--pe-file1"):
@@ -421,6 +471,8 @@ def pe_main(argv: List[str]) -> int:
             devices = int(a)
         elif o == "--profile":
             profile = a
+        elif o == "--checkpoint":
+            ckfn = a
         elif o == "--help":
             sys.stdout.write(PE_USAGE)
             return 0
@@ -476,36 +528,74 @@ def pe_main(argv: List[str]) -> int:
     cuts_fn, rpc = _build_cuts_fn(params, devices, rpc)
     cfg = EngineConfig(records_per_chunk=rpc, compat=compat)
 
+    counters_in = None
+    ck = None
+    if ckfn:
+        if gzip_out:
+            sys.stderr.write(
+                "****Error: --checkpoint requires plain (non-gzip) output.\n\n"
+            )
+            return 1
+        from .engine.checkpoint import TrimCheckpoint, progress_saver, resume_outputs
+
+        ck = TrimCheckpoint(_checkpoint_path(ckfn))
+        st = ck.load()
+
     outs = []
+    ck_streams = {}
 
     def out_stream(path):
-        s = open_output(path, gzip_out)
+        if ck is not None:
+            s = _open_resumable(path)
+            ck_streams[path] = s
+        else:
+            s = open_output(path, gzip_out)
         outs.append(s)
         return s
+
+    def apply_resume():
+        if ck is None:
+            return None
+        nonlocal counters_in
+        if st is not None:
+            resume_outputs(st, ck_streams)
+            counters_in = PECounters(**st.counters)
+            cfg.skip_records = st.records_done
+            _msg(debug, f"Resuming at record {st.records_done}")
+        cfg.progress_cb = progress_saver(ck, dataclasses.asdict, ck_streams)
 
     try:
         if infnc:
             _msg(debug, f"Building reader for {infnc}")
             with open_input(infnc) as fin:
+                o1 = out_stream(outfnc)
+                so = out_stream(sfn) if sfn else None
+                apply_resume()
                 with _Profile(profile):
                     counters = run_pe(
                         fin, None, interleaved=True,
-                        out1=out_stream(outfnc),
-                        singles_out=out_stream(sfn) if sfn else None,
+                        out1=o1,
+                        singles_out=so,
                         n_record_mode=n_record_mode,
                         params=params, cfg=cfg, cuts_fn=cuts_fn,
+                        counters=counters_in,
                     )
         else:
             _msg(debug, f"Building reader for {infn}")
             _msg(debug, f"Building reader for {infn2}")
             with open_input(infn) as f1, open_input(infn2) as f2:
+                o1 = out_stream(outfn)
+                o2 = out_stream(outfn2)
+                so = out_stream(sfn)
+                apply_resume()
                 with _Profile(profile):
                     counters = run_pe(
                         f1, f2, interleaved=False,
-                        out1=out_stream(outfn),
-                        out2=out_stream(outfn2),
-                        singles_out=out_stream(sfn),
+                        out1=o1,
+                        out2=o2,
+                        singles_out=so,
                         params=params, cfg=cfg, cuts_fn=cuts_fn,
+                        counters=counters_in,
                     )
     except FileNotFoundError as e:
         sys.stderr.write(f"****Error: Could not open input file '{e.filename}'.\n\n")

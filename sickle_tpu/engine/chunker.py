@@ -21,18 +21,40 @@ def iter_record_chunks(
     records_per_chunk: int,
     lines_per_record: int = 4,
     block_bytes: int = BLOCK_BYTES,
+    skip_records: int = 0,
 ) -> Iterator[bytes]:
     """Yield byte buffers of exactly ``records_per_chunk`` records each.
 
     The final chunk may be short; a trailing unterminated line counts as a
     line (matching ``pack_fastq``).  Lines are only counted, never copied
     per-line — the scan is a vectorized newline search per input block.
+
+    ``skip_records`` drops that many records from the stream's start
+    before the first yield (checkpoint/resume fast-forward): the skipped
+    bytes are scanned for record boundaries but never buffered or packed.
     """
     target = records_per_chunk * lines_per_record
     pending: list[bytes] = []
     nl_pending = 0
-    while True:
+    carried: bytes = b""
+    skip_lines = skip_records * lines_per_record
+    while skip_lines > 0:
         block = stream.read(block_bytes)
+        if not block:
+            return
+        arr = np.frombuffer(block, dtype=np.uint8)
+        positions = np.flatnonzero(arr == NEWLINE)
+        if positions.size < skip_lines:
+            skip_lines -= positions.size
+            continue
+        cut = int(positions[skip_lines - 1]) + 1
+        skip_lines = 0
+        carried = block[cut:]  # remainder re-enters the normal chunk loop
+    while True:
+        if carried:
+            block, carried = carried, b""
+        else:
+            block = stream.read(block_bytes)
         if not block:
             break
         arr = np.frombuffer(block, dtype=np.uint8)

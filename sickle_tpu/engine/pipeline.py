@@ -68,6 +68,12 @@ class EngineConfig:
     compat: Compat = Compat.V133
     slice_rows: int = 4096
     inflight: int = 4
+    # checkpoint/resume (SURVEY.md §5.3): fast-forward this many input
+    # records (pe: total mates, even) before processing, and call
+    # ``progress_cb(counters)`` after each chunk's output is written —
+    # deterministic output makes "records done" a complete restart state
+    skip_records: int = 0
+    progress_cb: Optional[Callable[[object], None]] = None
 
 
 def default_cuts_fn(params: TrimParams, cfg: Optional[EngineConfig] = None) -> CutsFn:
@@ -352,18 +358,24 @@ def run_se(
     *,
     cfg: Optional[EngineConfig] = None,
     cuts_fn: Optional[CutsFn] = None,
+    counters: Optional[SECounters] = None,
 ) -> SECounters:
-    """Trim a single-end stream; returns exact global counters."""
+    """Trim a single-end stream; returns exact global counters.
+
+    Pass ``counters`` (and ``cfg.skip_records``) to resume a partial run:
+    skipped records are fast-forwarded without compute or output.
+    """
     cfg = cfg or EngineConfig()
     cuts_fn = cuts_fn or default_cuts_fn(params, cfg)
     pipe = _Pipeline(cfg.prefetch, n_workspaces=cfg.prefetch + 2,
                      need_seq=params.trunc_n)
-    counters = SECounters()
-    state = {"consumed": 0, "l_max": 0}
+    counters = counters if counters is not None else SECounters()
+    state = {"consumed": cfg.skip_records, "l_max": 0}
     outbuf = OutputBuffer()
 
     def producer():
-        for chunk in iter_record_chunks(in_stream, cfg.records_per_chunk):
+        for chunk in iter_record_chunks(in_stream, cfg.records_per_chunk,
+                                        skip_records=cfg.skip_records):
             packed = pack_fastq(
                 chunk,
                 start_position=state["consumed"],
@@ -410,6 +422,8 @@ def run_se(
             )
             out_stream.write(out)
         pipe.recycle(packed)
+        if cfg.progress_cb is not None:
+            cfg.progress_cb(counters)
 
     pipe.run(producer, dispatcher, consume)
     return counters
@@ -421,10 +435,10 @@ def run_se(
 
 
 def _pair_chunks_two_file(
-    in1: BinaryIO, in2: BinaryIO, records_per_chunk: int
+    in1: BinaryIO, in2: BinaryIO, records_per_chunk: int, skip_each: int = 0
 ) -> Iterator[Tuple[bytes, bytes]]:
-    it1 = iter_record_chunks(in1, records_per_chunk)
-    it2 = iter_record_chunks(in2, records_per_chunk)
+    it1 = iter_record_chunks(in1, records_per_chunk, skip_records=skip_each)
+    it2 = iter_record_chunks(in2, records_per_chunk, skip_records=skip_each)
     while True:
         c1 = next(it1, None)
         c2 = next(it2, None)
@@ -449,6 +463,7 @@ def run_pe(
     params: TrimParams,
     cfg: Optional[EngineConfig] = None,
     cuts_fn: Optional[CutsFn] = None,
+    counters: Optional[PECounters] = None,
 ) -> PECounters:
     """Trim a paired-end stream.
 
@@ -466,8 +481,10 @@ def run_pe(
     cuts_fn = cuts_fn or default_cuts_fn(params, cfg)
     pipe = _Pipeline(cfg.prefetch, n_workspaces=cfg.prefetch + 2,
                      need_seq=params.trunc_n)
-    counters = PECounters()
-    state = {"consumed": 0, "l_max": 0}
+    counters = counters if counters is not None else PECounters()
+    if cfg.skip_records % 2:
+        raise ValueError("pe skip_records must be even (whole pairs)")
+    state = {"consumed": cfg.skip_records, "l_max": 0}
     outbuf = OutputBuffer()
     rpc = cfg.records_per_chunk
     if interleaved and rpc % 2:
@@ -490,7 +507,8 @@ def run_pe(
 
     def producer():
         if interleaved:
-            for chunk in iter_record_chunks(in1, rpc):
+            for chunk in iter_record_chunks(in1, rpc,
+                                            skip_records=cfg.skip_records):
                 packed = pack(chunk)
                 if packed.n_records % 2:
                     raise FastqValidationError(
@@ -503,7 +521,8 @@ def run_pe(
             # pack both mate files' chunks as ONE batch (mate-2 rows after
             # mate-1 rows): one device call per chunk, one shared source
             # buffer for output assembly (incl. mixed-source singles)
-            for c1, c2 in _pair_chunks_two_file(in1, in2, rpc):
+            for c1, c2 in _pair_chunks_two_file(in1, in2, rpc,
+                                                skip_each=cfg.skip_records // 2):
                 if not c1.endswith(b"\n"):
                     c1 += b"\n"  # keep c2's first line separate at EOF
                 n1 = c1.count(b"\n") // 4
@@ -538,6 +557,8 @@ def run_pe(
                                   singles_out, n_record_mode, params, cfg,
                                   outbuf)
         pipe.recycle(packed)
+        if cfg.progress_cb is not None:
+            cfg.progress_cb(counters)
 
     pipe.run(producer, dispatcher, consume)
     return counters
