@@ -15,6 +15,7 @@ compiled executable.  Counters are exact and global (the reference's pe
 from __future__ import annotations
 
 import dataclasses
+import os
 import queue
 import threading
 from typing import BinaryIO, Callable, Iterator, Optional, Tuple
@@ -57,17 +58,23 @@ class EngineConfig:
     dispatched as B/slice_rows independent sub-batches so (a) one
     compiled executable serves every chunk including the ragged last one
     (chunks are padded only to a slice multiple, not to a full chunk) and
-    (b) each H2D transfer stays small — measured on the tunneled-TPU
-    link, sub-MB RPCs sustain ~5-10x the throughput of multi-MB ones.
-    ``inflight`` sub-batches are kept in flight so transfers overlap
-    device compute without concurrent host-side RPC issue.
+    (b) the RPC count stays low — the tunneled-TPU link charges a fixed
+    ~25-45ms fine per synchronizing RPC once its cumulative-byte budget
+    is spent (PERF_NOTES.md), so fewer/larger slices win in every link
+    state, bounded by ragged-tail padding waste.  ``inflight`` sub-
+    batches are kept in flight so transfers overlap device compute
+    without concurrent host-side RPC issue.
     """
 
     records_per_chunk: int = 1 << 16
     prefetch: int = 2
     compat: Compat = Compat.V133
-    slice_rows: int = 4096
-    inflight: int = 4
+    slice_rows: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("SICKLE_TPU_SLICE_ROWS", 1 << 15))
+    )
+    inflight: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("SICKLE_TPU_INFLIGHT", 2))
+    )
     # checkpoint/resume (SURVEY.md §5.3): fast-forward this many input
     # records (pe: total mates, even) before processing, and call
     # ``progress_cb(counters)`` after each chunk's output is written —
@@ -115,8 +122,6 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
     (compiles in seconds, robust); SICKLE_TPU_KERNEL=pallas selects the
     single-pass Pallas kernel (lowest HBM traffic).
     """
-    import os
-
     import jax
     import jax.numpy as jnp
 
