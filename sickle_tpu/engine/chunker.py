@@ -4,6 +4,11 @@ Equivalent of the reference's GZReader 4-line batch alignment and
 remainder carry (src/GZReader.cpp:104-126), but chunks contain an exact
 fixed number of RECORDS (not bytes) so every device batch has the same
 shape — one XLA compilation serves the whole run.
+
+The newline scan is the whole-input hot loop (the reference pays a
+gzgets + heap copy per line here, src/GZReader.cpp:76-92); we count
+newlines per block with C++ memchr (multi-GB/s) and locate an exact
+byte position only at chunk boundaries.
 """
 
 from __future__ import annotations
@@ -12,8 +17,35 @@ from typing import BinaryIO, Iterator
 
 import numpy as np
 
+from ..io import native
+
 NEWLINE = 0x0A
 BLOCK_BYTES = 8 << 20
+
+
+def _nl_count(block: bytes) -> int:
+    lib = native.get_lib()
+    if lib is not None:
+        import ctypes
+
+        arr = np.frombuffer(block, dtype=np.uint8)
+        return int(lib.sk_count_newlines(native.ptr(arr, ctypes.c_uint8), arr.size))
+    return int(np.count_nonzero(np.frombuffer(block, dtype=np.uint8) == NEWLINE))
+
+
+def _nl_kth(block: bytes, k: int) -> int:
+    """Byte index of the k-th (1-based) newline; caller guarantees it exists."""
+    lib = native.get_lib()
+    if lib is not None:
+        import ctypes
+
+        arr = np.frombuffer(block, dtype=np.uint8)
+        pos = int(lib.sk_kth_newline(native.ptr(arr, ctypes.c_uint8), arr.size, k))
+    else:
+        pos = int(
+            np.flatnonzero(np.frombuffer(block, dtype=np.uint8) == NEWLINE)[k - 1]
+        )
+    return pos
 
 
 def iter_record_chunks(
@@ -27,7 +59,7 @@ def iter_record_chunks(
 
     The final chunk may be short; a trailing unterminated line counts as a
     line (matching ``pack_fastq``).  Lines are only counted, never copied
-    per-line — the scan is a vectorized newline search per input block.
+    per-line.
 
     ``skip_records`` drops that many records from the stream's start
     before the first yield (checkpoint/resume fast-forward): the skipped
@@ -42,12 +74,11 @@ def iter_record_chunks(
         block = stream.read(block_bytes)
         if not block:
             return
-        arr = np.frombuffer(block, dtype=np.uint8)
-        positions = np.flatnonzero(arr == NEWLINE)
-        if positions.size < skip_lines:
-            skip_lines -= positions.size
+        n_nl = _nl_count(block)
+        if n_nl < skip_lines:
+            skip_lines -= n_nl
             continue
-        cut = int(positions[skip_lines - 1]) + 1
+        cut = _nl_kth(block, skip_lines) + 1
         skip_lines = 0
         carried = block[cut:]  # remainder re-enters the normal chunk loop
     while True:
@@ -57,19 +88,18 @@ def iter_record_chunks(
             block = stream.read(block_bytes)
         if not block:
             break
-        arr = np.frombuffer(block, dtype=np.uint8)
-        positions = np.flatnonzero(arr == NEWLINE)
-        while nl_pending + positions.size >= target:
+        n_nl = _nl_count(block)
+        while nl_pending + n_nl >= target:
             need = target - nl_pending
-            cut = int(positions[need - 1]) + 1
+            cut = _nl_kth(block, need) + 1
             pending.append(block[:cut])
             yield b"".join(pending)
             pending = []
             nl_pending = 0
             block = block[cut:]
-            positions = positions[need:] - cut
+            n_nl -= need
         if block:
             pending.append(block)
-            nl_pending += positions.size
+            nl_pending += n_nl
     if pending:
         yield b"".join(pending)

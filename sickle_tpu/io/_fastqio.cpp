@@ -41,6 +41,33 @@ void parallel_for(int64_t n, int n_threads, void (*body)(int64_t, int64_t, void*
 
 extern "C" {
 
+// Count '\n' bytes exactly (memchr loop; multi-GB/s).
+int64_t sk_count_newlines(const uint8_t* data, int64_t n) {
+  int64_t count = 0;
+  const uint8_t* p = data;
+  const uint8_t* end = data + n;
+  while (p < end) {
+    const uint8_t* q = static_cast<const uint8_t*>(memchr(p, '\n', end - p));
+    if (!q) break;
+    count++;
+    p = q + 1;
+  }
+  return count;
+}
+
+// Byte index of the k-th (1-based) '\n', or -1 if there are fewer than k.
+int64_t sk_kth_newline(const uint8_t* data, int64_t n, int64_t k) {
+  const uint8_t* p = data;
+  const uint8_t* end = data + n;
+  while (k > 0 && p < end) {
+    const uint8_t* q = static_cast<const uint8_t*>(memchr(p, '\n', end - p));
+    if (!q) return -1;
+    if (--k == 0) return q - data;
+    p = q + 1;
+  }
+  return -1;
+}
+
 // Count '\n' bytes (memchr loop; ~GB/s).
 int64_t sk_count_lines(const uint8_t* data, int64_t n) {
   int64_t count = 0;

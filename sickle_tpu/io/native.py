@@ -78,6 +78,10 @@ def get_lib():
         pu8 = ctypes.POINTER(u8)
         lib.sk_count_lines.restype = i64
         lib.sk_count_lines.argtypes = [pu8, i64]
+        lib.sk_count_newlines.restype = i64
+        lib.sk_count_newlines.argtypes = [pu8, i64]
+        lib.sk_kth_newline.restype = i64
+        lib.sk_kth_newline.argtypes = [pu8, i64, i64]
         lib.sk_parse_pack.restype = ctypes.c_int
         lib.sk_parse_pack.argtypes = [
             pu8, i64, i64, i64, p64, p32, pu8, pu8, p32, p64, p64, p64,
