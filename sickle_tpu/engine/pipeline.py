@@ -15,20 +15,25 @@ compiled executable.  Counters are exact and global (the reference's pe
 from __future__ import annotations
 
 import dataclasses
+import io as _io
+import mmap as _mmap
 import os
 import queue
+import stat as _stat
 import threading
 from typing import BinaryIO, Callable, Iterator, Optional, Tuple
 
 import numpy as np
 
 from ..constants import Compat
+from ..io import native
 from ..io.fastq import (
     OutputBuffer,
     PackedReads,
     PackWorkspace,
     assemble_records,
     pack_fastq,
+    pack_fastq_stream,
 )
 from ..oracle import (
     FastqValidationError,
@@ -81,6 +86,45 @@ class EngineConfig:
     # deterministic output makes "records done" a complete restart state
     skip_records: int = 0
     progress_cb: Optional[Callable[[object], None]] = None
+
+
+def _mmap_input(stream: BinaryIO):
+    """``(uint8 view of the whole file, start offset)`` for a plain
+    regular-file stream, else ``None``.
+
+    Enables the zero-copy producer: records are parsed straight out of
+    the mapped pages (one scan, no chunk byte copies).  Gzip streams,
+    pipes, and in-memory streams fall back to the chunked reader.
+    """
+    raw = stream.raw if isinstance(stream, _io.BufferedReader) else stream
+    if not isinstance(raw, _io.FileIO) or "r" not in getattr(raw, "mode", ""):
+        return None
+    try:
+        st = os.fstat(stream.fileno())
+        if not _stat.S_ISREG(st.st_mode) or st.st_size == 0:
+            return None
+        mm = _mmap.mmap(stream.fileno(), st.st_size, access=_mmap.ACCESS_READ)
+    except (OSError, ValueError, AttributeError):
+        return None
+    return np.frombuffer(mm, dtype=np.uint8), stream.tell()
+
+
+def _skip_offset(arr: np.ndarray, offset: int, n_lines: int) -> Optional[int]:
+    """Byte offset just past the ``n_lines``-th newline at/after ``offset``
+    (checkpoint fast-forward), or None if the buffer has fewer lines."""
+    if n_lines == 0:
+        return offset
+    import ctypes
+
+    lib = native.get_lib()
+    view = arr[offset:]
+    if lib is not None:
+        pos = int(lib.sk_kth_newline(native.ptr(view, ctypes.c_uint8),
+                                     view.size, n_lines))
+    else:
+        nl = np.flatnonzero(view == 0x0A)
+        pos = int(nl[n_lines - 1]) if nl.size >= n_lines else -1
+    return None if pos < 0 else offset + pos + 1
 
 
 def default_cuts_fn(params: TrimParams, cfg: Optional[EngineConfig] = None) -> CutsFn:
@@ -378,7 +422,31 @@ def run_se(
     state = {"consumed": cfg.skip_records, "l_max": 0}
     outbuf = OutputBuffer()
 
+    mapped = _mmap_input(in_stream) if native.available() else None
+
     def producer():
+        if mapped is not None:
+            # zero-copy: parse fixed-record chunks straight from the mmap
+            arr, off = mapped
+            off = _skip_offset(arr, off, 4 * cfg.skip_records)
+            while off is not None and off < arr.size:
+                ws = pipe.get_workspace()
+                packed, consumed = pack_fastq_stream(
+                    arr, off, cfg.records_per_chunk,
+                    start_position=state["consumed"],
+                    l_max=state["l_max"],
+                    batch_multiple=cfg.slice_rows,
+                    workspace=ws,
+                    need_seq=params.trunc_n,
+                )
+                off += consumed
+                if packed.n_records == 0:  # trailing partial record
+                    pipe.ws_pool.put(ws)
+                    break
+                state["consumed"] += packed.n_records
+                state["l_max"] = max(state["l_max"], packed.max_len)
+                pipe.pack_q.put(packed)
+            return
         for chunk in iter_record_chunks(in_stream, cfg.records_per_chunk,
                                         skip_records=cfg.skip_records):
             packed = pack_fastq(
@@ -510,18 +578,41 @@ def run_pe(
         state["l_max"] = max(state["l_max"], packed.max_len)
         return packed
 
+    def put_interleaved(packed: PackedReads):
+        if packed.n_records % 2:
+            raise FastqValidationError(
+                "Reading interleaved pair: read1 loaded, but no read2 "
+                "to load. Maybe it's not an interleaved file?"
+            )
+        state["consumed"] += packed.n_records
+        pipe.pack_q.put((packed, None))
+
     def producer():
         if interleaved:
+            mapped = _mmap_input(in1) if native.available() else None
+            if mapped is not None:  # zero-copy (see run_se)
+                arr, off = mapped
+                off = _skip_offset(arr, off, 4 * cfg.skip_records)
+                while off is not None and off < arr.size:
+                    ws = pipe.get_workspace()
+                    packed, consumed = pack_fastq_stream(
+                        arr, off, rpc,
+                        start_position=state["consumed"],
+                        l_max=state["l_max"],
+                        batch_multiple=bm,
+                        workspace=ws,
+                        need_seq=params.trunc_n,
+                    )
+                    off += consumed
+                    if packed.n_records == 0:
+                        pipe.ws_pool.put(ws)
+                        break
+                    state["l_max"] = max(state["l_max"], packed.max_len)
+                    put_interleaved(packed)
+                return
             for chunk in iter_record_chunks(in1, rpc,
                                             skip_records=cfg.skip_records):
-                packed = pack(chunk)
-                if packed.n_records % 2:
-                    raise FastqValidationError(
-                        "Reading interleaved pair: read1 loaded, but no read2 "
-                        "to load. Maybe it's not an interleaved file?"
-                    )
-                state["consumed"] += packed.n_records
-                pipe.pack_q.put((packed, None))
+                put_interleaved(pack(chunk))
         else:
             # pack both mate files' chunks as ONE batch (mate-2 rows after
             # mate-1 rows): one device call per chunk, one shared source

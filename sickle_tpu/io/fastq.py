@@ -279,6 +279,40 @@ def _raise_validation_error_native(
     raise FastqValidationError("FASTQ validation failed")  # pragma: no cover
 
 
+def pack_fastq_stream(
+    arr: np.ndarray,
+    offset: int,
+    max_records: int,
+    *,
+    start_position: int = 0,
+    l_max: Optional[int] = None,
+    batch_multiple: int = 8,
+    len_multiple: int = 8,
+    workspace: PackWorkspace,
+    need_seq: bool = True,
+) -> Tuple[PackedReads, int]:
+    """Parse up to ``max_records`` records from ``arr[offset:]`` in place.
+
+    Zero-copy streaming entry point (native path only): the caller holds
+    one buffer for the whole input (e.g. an mmap of the file) and advances
+    by the returned consumed-byte count — no per-chunk byte copies, no
+    separate newline-count pass (the reference pays a heap copy per line
+    here, src/GZReader.cpp:76-92).  A trailing partial record parses as 0
+    records (consumed covers it) — the loop's natural termination.
+    """
+    view = arr[offset:]
+    packed = _pack_fastq_native(
+        view, workspace, start_position, l_max, batch_multiple, len_multiple,
+        need_seq, max_records=max_records,
+    )
+    n = packed.n_records
+    if n == 0:
+        return packed, view.size
+    ws = packed.workspace
+    last = int(ws.starts4[4 * n - 1]) + int(ws.lens4[4 * n - 1])
+    return packed, min(last + 1, view.size)  # +1 skips the newline
+
+
 def _pack_fastq_native(
     arr: np.ndarray,
     ws: PackWorkspace,
@@ -287,14 +321,16 @@ def _pack_fastq_native(
     batch_multiple: int,
     len_multiple: int,
     need_seq: bool = True,
+    max_records: Optional[int] = None,
 ) -> PackedReads:
     import ctypes
 
     if not need_seq:
         ws.need_seq = False
     lib = native.get_lib()
-    n_lines = lib.sk_count_lines(native.ptr(arr, ctypes.c_uint8), arr.size)
-    max_records = max(int(n_lines) // 4 + 1, 1)
+    if max_records is None:
+        n_lines = lib.sk_count_lines(native.ptr(arr, ctypes.c_uint8), arr.size)
+        max_records = max(int(n_lines) // 4 + 1, 1)
     L = _round_up(max(l_max or 0, 1), len_multiple)
     ws.ensure(max_records, L, batch_multiple)
 
@@ -326,8 +362,13 @@ def _pack_fastq_native(
 
     n = int(n_out[0])
     B = _round_up(max(n, 1), batch_multiple)
-    if n < ws.capacity:
-        ws.lengths[n:B] = 0  # padding rows must read as empty
+    if n < B:
+        # padding rows must read as empty — including stale bytes from a
+        # previous (fuller) chunk in this reused workspace, so the TPU
+        # path's derive-lengths-from-zero-padding invariant holds on the
+        # ragged final chunk too
+        ws.lengths[n:B] = 0
+        ws.qual[n:B] = 0
     starts4 = ws.starts4[: 4 * n].reshape(n, 4)
     lens4 = ws.lens4[: 4 * n].reshape(n, 4)
     return PackedReads(

@@ -231,3 +231,54 @@ def test_sliced_tpu_cuts_fn_trunc_n_and_badqual():
         out = io.BytesIO()
         run_se(io.BytesIO(bad), out, p, cfg=cfg, cuts_fn=fn)
     assert "@rbad" in e.value.message
+
+
+def _file_stream(tmp_path, data, name="in.fastq"):
+    p = tmp_path / name
+    p.write_bytes(data)
+    return open(p, "rb")
+
+
+@pytest.mark.parametrize("tail", [b"", b"@tail\nACGT\n", None])
+def test_se_mmap_path_matches_stream_path(fixture_bytes, tmp_path, tail):
+    """Plain-file inputs take the zero-copy mmap producer; bytes and
+    counters must equal the chunked in-memory path, including a trailing
+    partial record (tail lines) and an unterminated final line (None)."""
+    from sickle_tpu.engine.pipeline import _mmap_input
+
+    data = fixture_bytes[:-1] if tail is None else fixture_bytes + tail
+    want, cw = se_run(data, 512)
+    out = io.BytesIO()
+    with _file_stream(tmp_path, data) as fin:
+        assert _mmap_input(fin) is not None  # fast path engages
+        c = run_se(fin, out, params60(),
+                   cfg=EngineConfig(records_per_chunk=512, compat=Compat.FORK))
+    assert out.getvalue() == want
+    assert (c.total, c.kept, c.discarded) == (cw.total, cw.kept, cw.discarded)
+
+
+@pytest.mark.parametrize("skip", [4, 2496, 2500])
+def test_se_mmap_resume_matches(fixture_bytes, tmp_path, skip):
+    cfg = lambda: EngineConfig(records_per_chunk=512, compat=Compat.FORK,
+                               skip_records=skip)
+    want = io.BytesIO()
+    cw = run_se(io.BytesIO(fixture_bytes), want, params60(), cfg=cfg())
+    out = io.BytesIO()
+    with _file_stream(tmp_path, fixture_bytes) as fin:
+        c = run_se(fin, out, params60(), cfg=cfg())
+    assert out.getvalue() == want.getvalue()
+    assert (c.total, c.kept) == (cw.total, cw.kept)
+
+
+def test_pe_interleaved_mmap_matches(fixture_bytes, tmp_path):
+    def go(fin):
+        out1, outs = io.BytesIO(), io.BytesIO()
+        c = run_pe(fin, None, interleaved=True, out1=out1, singles_out=outs,
+                   params=params60(),
+                   cfg=EngineConfig(records_per_chunk=512, compat=Compat.FORK))
+        return out1.getvalue(), outs.getvalue(), (c.total, c.kept_p, c.kept_s1,
+                                                  c.kept_s2, c.discard_p)
+
+    with _file_stream(tmp_path, fixture_bytes) as fin:
+        got = go(fin)
+    assert got == go(io.BytesIO(fixture_bytes))
