@@ -32,8 +32,10 @@ from ..io.fastq import (
     PackedReads,
     PackWorkspace,
     assemble_records,
+    assemble_records_at,
     pack_fastq,
     pack_fastq_stream,
+    record_out_sizes,
 )
 from ..oracle import (
     FastqValidationError,
@@ -552,7 +554,9 @@ def run_pe(
     """
     cfg = cfg or EngineConfig()
     cuts_fn = cuts_fn or default_cuts_fn(params, cfg)
-    pipe = _Pipeline(cfg.prefetch, n_workspaces=cfg.prefetch + 2,
+    # two-file runs check out one workspace per mate file per chunk
+    pipe = _Pipeline(cfg.prefetch,
+                     n_workspaces=(cfg.prefetch + 2) * (1 if interleaved else 2),
                      need_seq=params.trunc_n)
     counters = counters if counters is not None else PECounters()
     if cfg.skip_records % 2:
@@ -614,6 +618,11 @@ def run_pe(
                                             skip_records=cfg.skip_records):
                 put_interleaved(pack(chunk))
         else:
+            m1 = _mmap_input(in1) if native.available() else None
+            m2 = _mmap_input(in2) if native.available() else None
+            if m1 is not None and m2 is not None:
+                _produce_two_file_mmap(m1, m2)
+                return
             # pack both mate files' chunks as ONE batch (mate-2 rows after
             # mate-1 rows): one device call per chunk, one shared source
             # buffer for output assembly (incl. mixed-source singles)
@@ -630,9 +639,72 @@ def run_pe(
                 state["consumed"] += packed.n_records
                 pipe.pack_q.put((packed, n1))
 
+    def _produce_two_file_mmap(m1, m2):
+        """Zero-copy two-file producer: each mate file is parsed straight
+        from its mmap into its own workspace; the pair of batches shares
+        one queue slot so the pair decision stays chunk-local.  Record
+        positions are per input file, as in the reference's two readers
+        (src/trim_paired.cpp:670-680)."""
+        arr1, off1 = m1
+        arr2, off2 = m2
+        skip_each = cfg.skip_records // 2
+        off1 = _skip_offset(arr1, off1, 4 * skip_each)
+        off2 = _skip_offset(arr2, off2, 4 * skip_each)
+        pos = skip_each
+        while True:
+            pk1 = pk2 = None
+            n1 = n2 = 0
+            if off1 is not None and off1 < arr1.size:
+                ws1 = pipe.get_workspace()
+                pk1, c1 = pack_fastq_stream(
+                    arr1, off1, rpc, start_position=pos,
+                    l_max=state["l_max"], batch_multiple=bm,
+                    workspace=ws1, need_seq=params.trunc_n,
+                )
+                off1 += c1
+                state["l_max"] = max(state["l_max"], pk1.max_len)
+                n1 = pk1.n_records
+                if n1 == 0:
+                    pipe.ws_pool.put(ws1)
+                    pk1 = None
+            if off2 is not None and off2 < arr2.size:
+                ws2 = pipe.get_workspace()
+                pk2, c2 = pack_fastq_stream(
+                    arr2, off2, n1 if n1 else 1, start_position=pos,
+                    l_max=state["l_max"], batch_multiple=bm,
+                    workspace=ws2, need_seq=params.trunc_n,
+                )
+                off2 += c2
+                state["l_max"] = max(state["l_max"], pk2.max_len)
+                n2 = pk2.n_records
+                if n2 == 0:
+                    pipe.ws_pool.put(ws2)
+                    pk2 = None
+            if n1 != n2:
+                for pk in (pk1, pk2):
+                    if pk is not None:
+                        pipe.recycle(pk)
+                raise FastqValidationError(
+                    "Batch2 and Batch1 have different lengths, exiting"
+                )
+            if n1 == 0:
+                return
+            pos += n1
+            state["consumed"] += 2 * n1
+            pipe.pack_q.put(((pk1, pk2), None))
+
     def dispatcher(item):
         # sequential device interaction incl. the result fetch (see run_se)
         packed, n1 = item
+        if isinstance(packed, tuple):  # split mate batches (mmap producer)
+            pk1, pk2 = packed
+            r1 = _materialize(
+                cuts_fn(pk1.seq, pk1.qual, pk1.lengths), pk1.n_records
+            )
+            r2 = _materialize(
+                cuts_fn(pk2.seq, pk2.qual, pk2.lengths), pk2.n_records
+            )
+            return packed, n1, (r1, r2)
         result = _materialize(
             cuts_fn(packed.seq, packed.qual, packed.lengths), packed.n_records
         )
@@ -644,6 +716,14 @@ def run_pe(
             _write_interleaved_chunk(packed, result, counters, out1,
                                      singles_out, n_record_mode, params, cfg,
                                      outbuf)
+            pipe.recycle(packed)
+        elif isinstance(packed, tuple):
+            p1k, p2k = packed
+            r1, r2 = result
+            _write_two_file_chunk(p1k, p2k, r1, r2, counters, out1, out2,
+                                  singles_out, n_record_mode, params, cfg,
+                                  outbuf)
+            pipe.recycle(p1k, p2k)
         else:
             p1, p2 = _split_packed(packed, n1)
             f, t, bad = result
@@ -652,7 +732,7 @@ def run_pe(
             _write_two_file_chunk(p1, p2, r1, r2, counters, out1, out2,
                                   singles_out, n_record_mode, params, cfg,
                                   outbuf)
-        pipe.recycle(packed)
+            pipe.recycle(packed)
         if cfg.progress_cb is not None:
             cfg.progress_cb(counters)
 
@@ -818,26 +898,45 @@ def _write_two_file_chunk(
         )
     single = p1 ^ p2
     if single.any() and singles_out is not None:
-        # singles come from either source file, in pair order -> one
-        # combined source buffer (already shared when the producer packed
-        # both files as one batch; legacy two-buffer callers concatenate)
+        # singles come from either source file, in pair order
         ks = np.flatnonzero(single)
-        if p1k.data is p2k.data:
-            combined, off2 = p1k.data, 0
-        else:
-            combined = np.concatenate([p1k.data, p2k.data])
-            off2 = p1k.data.size
         take1 = p1[ks]
-        s1 = _sel(p1k, ks)
-        s2 = _sel(p2k, ks, offset=off2)
-        fields = {
-            key: np.where(take1, s1[key], s2[key]) for key in s1
-        }
         fv = np.where(take1, f1[ks], f2[ks])
         tv = np.where(take1, t1[ks], t2[ks])
-        singles_out.write(
-            assemble_records(
-                combined, **fields, five=fv, three=tv,
-                compat=cfg.compat, qualtype=params.qualtype, out=outbuf,
+        if p1k.data is p2k.data:
+            # both mates in one source buffer: single assembly pass
+            s1 = _sel(p1k, ks)
+            s2 = _sel(p2k, ks)
+            fields = {key: np.where(take1, s1[key], s2[key]) for key in s1}
+            singles_out.write(
+                assemble_records(
+                    p1k.data, **fields, five=fv, three=tv,
+                    compat=cfg.compat, qualtype=params.qualtype, out=outbuf,
+                )
             )
-        )
+        else:
+            # two source buffers (zero-copy mmap producer): compute the
+            # interleaved output offsets once, then one placement pass
+            # per source — never concatenate the buffers
+            nl = np.where(take1, p1k.name_len[ks], p2k.name_len[ks])
+            cl = np.where(take1, p1k.comment_len[ks], p2k.comment_len[ks])
+            sizes = record_out_sizes(nl, cl, fv, tv, cfg.compat)
+            offsets = np.zeros(ks.size, np.int64)
+            if ks.size > 1:
+                np.cumsum(sizes[:-1], out=offsets[1:])
+            total = int(offsets[-1] + sizes[-1])
+            buf = (outbuf or OutputBuffer()).ensure(total)
+            for pk, fx, tx, take in (
+                (p1k, f1, t1, take1),
+                (p2k, f2, t2, ~take1),
+            ):
+                sub = np.flatnonzero(take)
+                if sub.size:
+                    rows = ks[sub]
+                    assemble_records_at(
+                        pk.data, **_sel(pk, rows),
+                        five=fx[rows], three=tx[rows],
+                        offsets=offsets[sub], out_buf=buf,
+                        compat=cfg.compat, qualtype=params.qualtype,
+                    )
+            singles_out.write(memoryview(buf)[:total])

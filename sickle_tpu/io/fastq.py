@@ -472,6 +472,90 @@ def assemble_records(
     return full[idx].tobytes()
 
 
+def record_out_sizes(
+    name_len: np.ndarray,
+    comment_len: np.ndarray,
+    five: np.ndarray,
+    three: np.ndarray,
+    compat: Compat = Compat.V133,
+    n_record_mask: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """int64 emitted byte count per record (4 newlines + segments)."""
+    cut = (np.asarray(three, np.int64) - np.asarray(five, np.int64))
+    if n_record_mask is not None:
+        cut = np.where(np.asarray(n_record_mask, bool), 1, cut)
+    com = 1 if compat == Compat.V133 else np.asarray(comment_len, np.int64)
+    return np.asarray(name_len, np.int64) + 2 * cut + com + 4
+
+
+def assemble_records_at(
+    src: np.ndarray,
+    *,
+    name_start: np.ndarray,
+    name_len: np.ndarray,
+    seq_start: np.ndarray,
+    comment_start: np.ndarray,
+    comment_len: np.ndarray,
+    qual_start: np.ndarray,
+    five: np.ndarray,
+    three: np.ndarray,
+    offsets: np.ndarray,
+    out_buf: np.ndarray,
+    compat: Compat = Compat.V133,
+    n_record_mask: Optional[np.ndarray] = None,
+    qualtype: QualityType = QualityType.SANGER,
+) -> None:
+    """Emit records from ``src`` into ``out_buf`` at explicit byte
+    ``offsets`` (caller-computed, e.g. interleaving records from two
+    source buffers without concatenating them).  Native-path core of
+    :func:`assemble_records`; a numpy fallback covers lib-less hosts."""
+    k = name_start.size
+    if k == 0:
+        return
+    if native.available():
+        import ctypes
+
+        lib = native.get_lib()
+        rewrite = 1 if compat == Compat.V133 else 0
+        if n_record_mask is not None:
+            mask = np.ascontiguousarray(n_record_mask, dtype=np.uint8)
+            mask_ptr = native.ptr(mask, ctypes.c_uint8)
+        else:
+            mask_ptr = ctypes.POINTER(ctypes.c_uint8)()
+        lib.sk_assemble(
+            native.ptr(src, ctypes.c_uint8), k,
+            native.ptr(np.ascontiguousarray(name_start, np.int64), ctypes.c_int64),
+            native.ptr(np.ascontiguousarray(name_len, np.int32), ctypes.c_int32),
+            native.ptr(np.ascontiguousarray(seq_start, np.int64), ctypes.c_int64),
+            native.ptr(np.ascontiguousarray(comment_start, np.int64), ctypes.c_int64),
+            native.ptr(np.ascontiguousarray(comment_len, np.int32), ctypes.c_int32),
+            native.ptr(np.ascontiguousarray(qual_start, np.int64), ctypes.c_int64),
+            native.ptr(np.ascontiguousarray(five, np.int32), ctypes.c_int32),
+            native.ptr(np.ascontiguousarray(three, np.int32), ctypes.c_int32),
+            mask_ptr, rewrite, quality_min(qualtype),
+            native.ptr(np.ascontiguousarray(offsets, np.int64), ctypes.c_int64),
+            native.ptr(out_buf, ctypes.c_uint8),
+            native.N_THREADS,
+        )
+        return
+    chunk = assemble_records(
+        src, name_start=name_start, name_len=name_len, seq_start=seq_start,
+        comment_start=comment_start, comment_len=comment_len,
+        qual_start=qual_start, five=np.asarray(five, np.int64),
+        three=np.asarray(three, np.int64), compat=compat,
+        n_record_mask=n_record_mask, qualtype=qualtype,
+    )
+    sizes = record_out_sizes(name_len, comment_len, five, three, compat,
+                             n_record_mask)
+    pos = 0
+    for r in range(k):
+        s = int(sizes[r])
+        out_buf[int(offsets[r]) : int(offsets[r]) + s] = np.frombuffer(
+            chunk[pos : pos + s], np.uint8
+        )
+        pos += s
+
+
 def _assemble_native(
     src, name_start, name_len, seq_start, comment_start, comment_len,
     qual_start, five, three, compat, n_record_mask, qualtype,

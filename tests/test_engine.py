@@ -282,3 +282,35 @@ def test_pe_interleaved_mmap_matches(fixture_bytes, tmp_path):
     with _file_stream(tmp_path, fixture_bytes) as fin:
         got = go(fin)
     assert got == go(io.BytesIO(fixture_bytes))
+
+
+def test_pe_two_file_mmap_matches(reference_fixtures, tmp_path):
+    """Two-file pe via the zero-copy mmap producer (split mate batches,
+    two-source singles assembly) must match the in-memory chunked path
+    byte-for-byte, including resume and whole-record length mismatch."""
+    f1 = (reference_fixtures / "test.f.fastq").read_bytes()
+    f2 = (reference_fixtures / "test.r.fastq").read_bytes()
+
+    def go(as_file, skip=0, d2=f2):
+        o1, o2, so = io.BytesIO(), io.BytesIO(), io.BytesIO()
+        cfg = EngineConfig(records_per_chunk=256, compat=Compat.FORK,
+                           skip_records=skip)
+        if as_file:
+            (tmp_path / "a").write_bytes(f1)
+            (tmp_path / "b").write_bytes(d2)
+            with open(tmp_path / "a", "rb") as a, open(tmp_path / "b", "rb") as b:
+                c = run_pe(a, b, out1=o1, out2=o2, singles_out=so,
+                           params=params60(), cfg=cfg)
+        else:
+            c = run_pe(io.BytesIO(f1), io.BytesIO(d2), out1=o1, out2=o2,
+                       singles_out=so, params=params60(), cfg=cfg)
+        return (o1.getvalue(), o2.getvalue(), so.getvalue(),
+                (c.total, c.kept_p, c.kept_s1, c.kept_s2, c.discard_p))
+
+    assert go(True) == go(False)
+    assert go(True, skip=100) == go(False, skip=100)
+
+    short = b"\n".join(f2.split(b"\n")[: 600 * 4]) + b"\n"
+    with pytest.raises(oracle.FastqValidationError) as e:
+        go(True, d2=short)
+    assert e.value.message == "Batch2 and Batch1 have different lengths, exiting"
