@@ -15,8 +15,10 @@ with these deliberate differences (SURVEY.md §2.4):
   default 1.33), ``--devices N`` (shard batches over N chips),
   ``--profile DIR`` (jax profiler trace).
 
-``-a/--threads`` and ``-b/--batch`` are accepted for compatibility; batch
-size is record-counted internally (fixed device shapes), derived from -b.
+``-a/--threads`` sets the host worker-thread count (parse/pack/assemble
+parallelism — reference src/trim_single.cpp:163 semantics mapped to our
+intra-op pools); ``-b/--batch`` is accepted for compatibility, with batch
+size record-counted internally (fixed device shapes), derived from -b.
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ from .constants import (
     VERSION,
 )
 from .engine import EngineConfig, run_pe, run_se
+from .io import native
 from .io.compression import open_input, open_output
 from .oracle import PECounters, SECounters, SickleError
 from .ops import TrimParams
@@ -107,7 +110,7 @@ Options:
 -x, --no-fiveprime, Don't do five prime trimming.
 -n, --trunc-n, Truncate sequences at position of first N.
 -g, --gzip-output, Output gzipped files.
--a, --threads, Number of host worker threads (accepted for compatibility).
+-a, --threads, Number of host worker threads.
 -b, --batch, maximum MB of data to read from the input file at each cycle.
 --compat, Behavior where the fork and sickle 1.33 disagree: '1.33' (default, '+' comment rewrite) or 'fork' (comment verbatim).
 --devices, Number of accelerator chips to shard each batch over. Default: all.
@@ -149,7 +152,7 @@ Paired-end interleaved reads
 -l, --length-threshold, Threshold to keep a read based on length after trimming. Default 20.
 -x, --no-fiveprime, Don't do five prime trimming.
 -n, --truncate-n, Truncate sequences at position of first N.
--a, --threads, Number of host worker threads (accepted for compatibility).
+-a, --threads, Number of host worker threads.
 -b, --batch, maximum MB of data to read from the input file at each cycle.
 --compat, Behavior where the fork and sickle 1.33 disagree: '1.33' (default) or 'fork'.
 --devices, Number of accelerator chips to shard each batch over. Default: all.
@@ -299,7 +302,7 @@ def se_main(argv: List[str]) -> int:
         elif o == "-d":
             debug = True
         elif o in ("-a", "--threads"):
-            int(a)  # accepted for compatibility
+            native.set_threads(int(a))
         elif o in ("-b", "--batch"):
             batch_mb = int(a)
         elif o == "--compat":
@@ -462,7 +465,7 @@ def pe_main(argv: List[str]) -> int:
         elif o == "-d":
             debug = True
         elif o in ("-a", "--threads"):
-            int(a)
+            native.set_threads(int(a))
         elif o in ("-b", "--batch"):
             batch_mb = int(a)
         elif o == "--compat":

@@ -51,6 +51,27 @@ CutsFn = Callable[[np.ndarray, np.ndarray, np.ndarray], Tuple]
 _SENTINEL = object()
 
 
+def _adapt_cuts_fn(fn: CutsFn) -> Callable:
+    """Normalize a cuts fn to the 4-arg form (seq, qual, lengths, qual_clean).
+
+    ``qual_clean=True`` tells backend-aware fns the packer proved the
+    zero-padding invariant (PackedReads.qual_clean), skipping any rescan.
+    Plain 3-arg fns (tests, custom backends) are wrapped to ignore it.
+    """
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+        if "qual_clean" in sig.parameters or any(
+            p.kind == inspect.Parameter.VAR_KEYWORD
+            for p in sig.parameters.values()
+        ):
+            return fn
+    except (TypeError, ValueError):
+        pass
+    return lambda seq, qual, lengths, qual_clean=False: fn(seq, qual, lengths)
+
+
 class _Cancelled(BaseException):
     """Internal: a pipeline stage was cancelled because a peer failed."""
 
@@ -226,15 +247,14 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
                 bad[k * SL + badrow] = 0  # position re-derived host-side
         return five, three, bad
 
-    def fn(seq, qual, lengths):
+    def fn(seq, qual, lengths, qual_clean=False):
         lengths = np.asarray(lengths)
         B = qual.shape[0]
         # padding-derivation invariant: zero bytes in `qual` are exactly
-        # the padding.  (A NUL inside a read is an invalid quality char;
-        # route through the explicit path so it errors, not truncates.)
-        n_zero = qual.size - int(np.count_nonzero(qual))
-        expected_pad = qual.size - int(lengths.sum())
-        if n_zero != expected_pad or B % SL:
+        # the padding — proven by the packer (PackedReads.qual_clean).
+        # (A NUL inside a read is an invalid quality char; route through
+        # the explicit path so it errors, not truncates.)
+        if not qual_clean or B % SL:
             r = step_explicit(seq, qual, lengths)
             arr = np.asarray(r)
             codes, badrow = arr[:-8], int(arr[-1])
@@ -417,11 +437,11 @@ def run_se(
     skipped records are fast-forwarded without compute or output.
     """
     cfg = cfg or EngineConfig()
-    cuts_fn = cuts_fn or default_cuts_fn(params, cfg)
+    cuts_fn = _adapt_cuts_fn(cuts_fn or default_cuts_fn(params, cfg))
     pipe = _Pipeline(cfg.prefetch, n_workspaces=cfg.prefetch + 2,
                      need_seq=params.trunc_n)
     counters = counters if counters is not None else SECounters()
-    state = {"consumed": cfg.skip_records, "l_max": 0}
+    state = {"consumed": cfg.skip_records, "l_max": 0, "est": 0}
     outbuf = OutputBuffer()
 
     mapped = _mmap_input(in_stream) if native.available() else None
@@ -440,6 +460,7 @@ def run_se(
                     batch_multiple=cfg.slice_rows,
                     workspace=ws,
                     need_seq=params.trunc_n,
+                    est_rec_bytes=state["est"],
                 )
                 off += consumed
                 if packed.n_records == 0:  # trailing partial record
@@ -447,6 +468,7 @@ def run_se(
                     break
                 state["consumed"] += packed.n_records
                 state["l_max"] = max(state["l_max"], packed.max_len)
+                state["est"] = max(state["est"], -(-consumed // packed.n_records))
                 pipe.pack_q.put(packed)
             return
         for chunk in iter_record_chunks(in_stream, cfg.records_per_chunk,
@@ -468,7 +490,8 @@ def run_se(
         # stays strictly sequential (concurrent H2D/D2H RPCs stall badly
         # on high-latency links; device compute is ~0.2ms/chunk, so the
         # lost overlap is negligible)
-        result = cuts_fn(packed.seq, packed.qual, packed.lengths)
+        result = cuts_fn(packed.seq, packed.qual, packed.lengths,
+                         qual_clean=packed.qual_clean)
         return packed, _materialize(result, packed.n_records)
 
     def consume(item):
@@ -553,7 +576,7 @@ def run_pe(
     (or two N records).
     """
     cfg = cfg or EngineConfig()
-    cuts_fn = cuts_fn or default_cuts_fn(params, cfg)
+    cuts_fn = _adapt_cuts_fn(cuts_fn or default_cuts_fn(params, cfg))
     # two-file runs check out one workspace per mate file per chunk
     pipe = _Pipeline(cfg.prefetch,
                      n_workspaces=(cfg.prefetch + 2) * (1 if interleaved else 2),
@@ -561,7 +584,7 @@ def run_pe(
     counters = counters if counters is not None else PECounters()
     if cfg.skip_records % 2:
         raise ValueError("pe skip_records must be even (whole pairs)")
-    state = {"consumed": cfg.skip_records, "l_max": 0}
+    state = {"consumed": cfg.skip_records, "l_max": 0, "est": 0}
     outbuf = OutputBuffer()
     rpc = cfg.records_per_chunk
     if interleaved and rpc % 2:
@@ -606,12 +629,16 @@ def run_pe(
                         batch_multiple=bm,
                         workspace=ws,
                         need_seq=params.trunc_n,
+                        est_rec_bytes=state["est"],
                     )
                     off += consumed
                     if packed.n_records == 0:
                         pipe.ws_pool.put(ws)
                         break
                     state["l_max"] = max(state["l_max"], packed.max_len)
+                    state["est"] = max(
+                        state["est"], -(-consumed // packed.n_records)
+                    )
                     put_interleaved(packed)
                 return
             for chunk in iter_record_chunks(in1, rpc,
@@ -660,10 +687,13 @@ def run_pe(
                     arr1, off1, rpc, start_position=pos,
                     l_max=state["l_max"], batch_multiple=bm,
                     workspace=ws1, need_seq=params.trunc_n,
+                    est_rec_bytes=state["est"],
                 )
                 off1 += c1
                 state["l_max"] = max(state["l_max"], pk1.max_len)
                 n1 = pk1.n_records
+                if n1:
+                    state["est"] = max(state["est"], -(-c1 // n1))
                 if n1 == 0:
                     pipe.ws_pool.put(ws1)
                     pk1 = None
@@ -673,6 +703,7 @@ def run_pe(
                     arr2, off2, n1 if n1 else 1, start_position=pos,
                     l_max=state["l_max"], batch_multiple=bm,
                     workspace=ws2, need_seq=params.trunc_n,
+                    est_rec_bytes=state["est"],
                 )
                 off2 += c2
                 state["l_max"] = max(state["l_max"], pk2.max_len)
@@ -699,14 +730,17 @@ def run_pe(
         if isinstance(packed, tuple):  # split mate batches (mmap producer)
             pk1, pk2 = packed
             r1 = _materialize(
-                cuts_fn(pk1.seq, pk1.qual, pk1.lengths), pk1.n_records
+                cuts_fn(pk1.seq, pk1.qual, pk1.lengths,
+                        qual_clean=pk1.qual_clean), pk1.n_records
             )
             r2 = _materialize(
-                cuts_fn(pk2.seq, pk2.qual, pk2.lengths), pk2.n_records
+                cuts_fn(pk2.seq, pk2.qual, pk2.lengths,
+                        qual_clean=pk2.qual_clean), pk2.n_records
             )
             return packed, n1, (r1, r2)
         result = _materialize(
-            cuts_fn(packed.seq, packed.qual, packed.lengths), packed.n_records
+            cuts_fn(packed.seq, packed.qual, packed.lengths,
+                    qual_clean=packed.qual_clean), packed.n_records
         )
         return packed, n1, result
 
@@ -721,8 +755,7 @@ def run_pe(
             p1k, p2k = packed
             r1, r2 = result
             _write_two_file_chunk(p1k, p2k, r1, r2, counters, out1, out2,
-                                  singles_out, n_record_mode, params, cfg,
-                                  outbuf)
+                                  singles_out, params, cfg, outbuf)
             pipe.recycle(p1k, p2k)
         else:
             p1, p2 = _split_packed(packed, n1)
@@ -730,8 +763,7 @@ def run_pe(
             r1 = (f[:n1], t[:n1], bad[:n1])
             r2 = (f[n1:], t[n1:], bad[n1:])
             _write_two_file_chunk(p1, p2, r1, r2, counters, out1, out2,
-                                  singles_out, n_record_mode, params, cfg,
-                                  outbuf)
+                                  singles_out, params, cfg, outbuf)
             pipe.recycle(packed)
         if cfg.progress_cb is not None:
             cfg.progress_cb(counters)
@@ -868,7 +900,7 @@ def _write_interleaved_chunk(
 
 
 def _write_two_file_chunk(
-    p1k, p2k, r1, r2, counters, out1, out2, singles_out, n_record_mode, params, cfg,
+    p1k, p2k, r1, r2, counters, out1, out2, singles_out, params, cfg,
     outbuf=None,
 ):
     n = p1k.n_records

@@ -14,6 +14,7 @@
 #include <atomic>
 #include <cstdint>
 #include <cstring>
+#include <functional>
 #include <thread>
 #include <vector>
 
@@ -35,6 +36,79 @@ void parallel_for(int64_t n, int n_threads, void (*body)(int64_t, int64_t, void*
     threads.emplace_back([=] { body(lo, hi, ctx); });
   }
   for (auto& th : threads) th.join();
+}
+
+// Run fn(t) on t = 0..n_tasks-1 across n_threads OS threads.  Thread spawn
+// costs ~25us here; callers only use this for >=ms-scale phases.
+void run_tasks(int n_tasks, const std::function<void(int)>& fn) {
+  if (n_tasks <= 1) {
+    if (n_tasks == 1) fn(0);
+    return;
+  }
+  std::vector<std::thread> threads;
+  threads.reserve(n_tasks - 1);
+  for (int t = 1; t < n_tasks; t++) threads.emplace_back([&fn, t] { fn(t); });
+  fn(0);
+  for (auto& th : threads) th.join();
+}
+
+// Parallel newline index over data[0, span): writes the byte positions of
+// the first `cap` newlines (+ `base` each) into idx.  Returns the number
+// written.  Two phases: per-thread counts -> prefix offsets -> writes.
+int64_t index_newlines(const uint8_t* data, int64_t span, int64_t cap,
+                       int64_t base, int64_t* idx, int n_threads) {
+  int t = std::max(1, n_threads);
+  if (span < (4 << 20)) t = 1;
+  if (t == 1) {  // single pass: memchr + write until cap
+    const uint8_t* p = data;
+    const uint8_t* hi = data + span;
+    int64_t at = 0;
+    while (at < cap && p < hi) {
+      const uint8_t* q = static_cast<const uint8_t*>(memchr(p, '\n', hi - p));
+      if (!q) break;
+      idx[at++] = base + (q - data);
+      p = q + 1;
+    }
+    return at;
+  }
+  std::vector<int64_t> cnt(t, 0);
+  int64_t chunk = (span + t - 1) / t;
+  run_tasks(t, [&](int i) {
+    const uint8_t* p = data + std::min<int64_t>(span, i * chunk);
+    const uint8_t* hi = data + std::min<int64_t>(span, (i + 1) * chunk);
+    int64_t c = 0;
+    while (p < hi) {
+      const uint8_t* q =
+          static_cast<const uint8_t*>(memchr(p, '\n', hi - p));
+      if (!q) break;
+      c++;
+      p = q + 1;
+    }
+    cnt[i] = c;
+  });
+  std::vector<int64_t> off(t + 1, 0);
+  for (int i = 0; i < t; i++) off[i + 1] = off[i] + cnt[i];
+  int64_t total = std::min(off[t], cap);
+  run_tasks(t, [&](int i) {
+    int64_t at = off[i];
+    if (at >= cap) return;
+    const uint8_t* p = data + std::min<int64_t>(span, i * chunk);
+    const uint8_t* hi = data + std::min<int64_t>(span, (i + 1) * chunk);
+    int64_t stop = std::min(off[i + 1], cap);
+    while (at < stop) {
+      const uint8_t* q =
+          static_cast<const uint8_t*>(memchr(p, '\n', hi - p));
+      idx[at++] = base + (q - data);
+      p = q + 1;
+    }
+  });
+  return total;
+}
+
+void atomic_min64(std::atomic<int64_t>& a, int64_t v) {
+  int64_t cur = a.load(std::memory_order_relaxed);
+  while (v < cur && !a.compare_exchange_weak(cur, v)) {
+  }
 }
 
 }  // namespace
@@ -84,80 +158,129 @@ int64_t sk_count_lines(const uint8_t* data, int64_t n) {
   return count;
 }
 
-struct PackCtx {
-  const uint8_t* data;
-  const int64_t* starts4;
-  const int32_t* lens4;
-  int64_t L;
-  uint8_t* seq;  // may alias qual when need_seq == 0
-  uint8_t* qual;
-  int32_t* lengths;
-  int need_seq;
-};
-
-static void pack_body(int64_t lo, int64_t hi, void* vctx) {
-  PackCtx* c = static_cast<PackCtx*>(vctx);
-  for (int64_t r = lo; r < hi; r++) {
-    int32_t len = c->lens4[4 * r + 1];
-    uint8_t* qrow = c->qual + r * c->L;
-    memcpy(qrow, c->data + c->starts4[4 * r + 3], len);
-    memset(qrow + len, 0, c->L - len);
-    if (c->need_seq) {
-      uint8_t* srow = c->seq + r * c->L;
-      memcpy(srow, c->data + c->starts4[4 * r + 1], len);
-      memset(srow + len, 0, c->L - len);
-    }
-    c->lengths[r] = len;
-  }
-}
-
-// One-pass parse + validate + pack.
+// One-pass parse + validate + pack, everything parallel.
+//
+// Pipeline inside one call:
+//   1) parallel newline index (two-phase memchr) into starts4 as scratch,
+//      self-extending from `scan_hint` bytes until 4*max_records lines or
+//      EOF — streaming callers pass an estimate so a chunk never scans the
+//      whole remaining mmap;
+//   2) elementwise conversion newline-positions -> (line start, line len);
+//   3) fused per-record validate + qual/seq row memcpy + NUL detection.
 //
 // Returns: 0 ok; 1 validation error (*err_record = first offending record,
-// input order); 2 row length L too small (*max_len = required).
+// input order); 2 row length L too small (*out_max_len = required).
+// out_flags bit0: some read's quality string contains a NUL byte (callers
+// use this to keep the derive-lengths-from-zero-padding invariant honest).
 // Trailing partial records (<4 lines) are ignored, matching the
 // reference's 4-line batch alignment (src/GZReader.cpp:104-126).
-int sk_parse_pack(const uint8_t* data, int64_t n, int64_t max_records,
-                  int64_t L, int64_t* starts4, int32_t* lens4, uint8_t* seq,
-                  uint8_t* qual, int32_t* lengths, int64_t* out_n_records,
-                  int64_t* out_max_len, int64_t* err_record, int n_threads,
-                  int need_seq) {
-  // 1) line index (serial memchr scan)
-  int64_t n_lines = 0;
+int sk_parse_pack2(const uint8_t* data, int64_t n, int64_t max_records,
+                   int64_t scan_hint, int64_t L, int64_t* starts4,
+                   int32_t* lens4, uint8_t* seq, uint8_t* qual,
+                   int32_t* lengths, int64_t* out_n_records,
+                   int64_t* out_max_len, int64_t* err_record,
+                   int64_t* out_flags, int n_threads, int need_seq) {
   int64_t max_lines = max_records * 4;
-  const uint8_t* p = data;
-  const uint8_t* end = data + n;
-  while (p < end && n_lines < max_lines) {
-    const uint8_t* q = static_cast<const uint8_t*>(memchr(p, '\n', end - p));
-    const uint8_t* line_end = q ? q : end;
-    starts4[n_lines] = p - data;
-    lens4[n_lines] = static_cast<int32_t>(line_end - p);
-    n_lines++;
-    if (!q) break;
-    p = q + 1;
+  if (scan_hint <= 0 && n > (8 << 20)) {
+    // no caller estimate on a large buffer: sniff the head for the
+    // average line length so the count phase never walks the whole mmap
+    int64_t sniff = std::min<int64_t>(n, 1 << 20);
+    int64_t nl = sk_count_newlines(data, sniff);
+    if (nl >= 8) scan_hint = max_lines * (sniff / nl + 2) * 9 / 8;
+  }
+  int64_t span = (scan_hint <= 0) ? n : std::min(scan_hint, n);
+  int64_t n_nl = index_newlines(data, span, max_lines, 0, starts4, n_threads);
+  while (n_nl < max_lines && span < n) {
+    // extend: estimate the remaining bytes from the observed line length
+    int64_t avg = n_nl ? (starts4[n_nl - 1] + 1) / n_nl : 256;
+    int64_t need = (max_lines - n_nl) * std::max<int64_t>(avg, 16) * 5 / 4;
+    int64_t new_span = std::min(n, span + std::max(need, span));
+    n_nl += index_newlines(data + span, new_span - span, max_lines - n_nl,
+                           span, starts4 + n_nl, n_threads);
+    span = new_span;
+  }
+  int64_t n_lines = n_nl;
+  if (span == n && n > 0 && data[n - 1] != '\n' && n_lines < max_lines) {
+    starts4[n_lines++] = n;  // trailing unterminated line
   }
   int64_t n_records = n_lines / 4;
   *out_n_records = n_records;
+  *out_max_len = 0;
+  *out_flags = 0;
+  if (n_records == 0) return 0;
+  int64_t used = 4 * n_records;
 
-  // 2) validate + max length (serial; touches only metadata + 1 byte/record)
-  int64_t max_len = 0;
-  for (int64_t r = 0; r < n_records; r++) {
-    int32_t name_len = lens4[4 * r];
-    int32_t seq_len = lens4[4 * r + 1];
-    int32_t qual_len = lens4[4 * r + 3];
-    if (name_len <= 1 || data[starts4[4 * r]] != '@' || seq_len < 1 ||
-        qual_len < 1 || seq_len != qual_len) {
-      *err_record = r;
-      return 1;
+  // newline positions -> line lengths (reads starts4, writes lens4) ...
+  struct ConvCtx {
+    const int64_t* nl;
+    int32_t* lens;
+  } conv{starts4, lens4};
+  parallel_for(used, n_threads,
+               [](int64_t lo, int64_t hi, void* v) {
+                 ConvCtx* c = static_cast<ConvCtx*>(v);
+                 for (int64_t i = lo; i < hi; i++) {
+                   int64_t start = i ? c->nl[i - 1] + 1 : 0;
+                   c->lens[i] = static_cast<int32_t>(c->nl[i] - start);
+                 }
+               },
+               &conv);
+  // ... then line starts, elementwise in place (starts4[i] only reads i)
+  struct Conv2Ctx {
+    int64_t* nl;
+    const int32_t* lens;
+  } conv2{starts4, lens4};
+  parallel_for(used, n_threads,
+               [](int64_t lo, int64_t hi, void* v) {
+                 Conv2Ctx* c = static_cast<Conv2Ctx*>(v);
+                 for (int64_t i = lo; i < hi; i++) c->nl[i] -= c->lens[i];
+               },
+               &conv2);
+
+  // fused validate + pack + NUL scan
+  std::atomic<int64_t> err(INT64_MAX);
+  std::atomic<int> has_nul(0);
+  int nt = std::max(1, n_threads);
+  if (n_records < 4096) nt = 1;
+  std::vector<int64_t> local_max(nt, 0);
+  int64_t rchunk = (n_records + nt - 1) / nt;
+  run_tasks(nt, [&](int ti) {
+    int64_t lo = ti * rchunk, hi = std::min<int64_t>(n_records, lo + rchunk);
+    int64_t mx = 0;
+    bool nul = false;
+    for (int64_t r = lo; r < hi; r++) {
+      int32_t name_len = lens4[4 * r];
+      int32_t seq_len = lens4[4 * r + 1];
+      int32_t qual_len = lens4[4 * r + 3];
+      if (name_len <= 1 || data[starts4[4 * r]] != '@' || seq_len < 1 ||
+          qual_len < 1 || seq_len != qual_len) {
+        atomic_min64(err, r);
+        continue;
+      }
+      if (seq_len > mx) mx = seq_len;
+      if (seq_len > L) continue;  // undersized row buffer; caller retries
+      uint8_t* qrow = qual + r * L;
+      memcpy(qrow, data + starts4[4 * r + 3], seq_len);
+      if (!nul && memchr(qrow, 0, seq_len)) nul = true;
+      memset(qrow + seq_len, 0, L - seq_len);
+      if (need_seq) {
+        uint8_t* srow = seq + r * L;
+        memcpy(srow, data + starts4[4 * r + 1], seq_len);
+        memset(srow + seq_len, 0, L - seq_len);
+      }
+      lengths[r] = seq_len;
     }
-    if (seq_len > max_len) max_len = seq_len;
-  }
+    local_max[ti] = mx;
+    if (nul) has_nul.store(1, std::memory_order_relaxed);
+  });
+  int64_t max_len = 0;
+  for (int ti = 0; ti < nt; ti++) max_len = std::max(max_len, local_max[ti]);
   *out_max_len = max_len;
+  if (err.load() != INT64_MAX) {
+    *err_record = err.load();
+    return 1;
+  }
   if (max_len > L) return 2;
-
-  // 3) pack rows (parallel memcpy)
-  PackCtx ctx{data, starts4, lens4, L, seq, qual, lengths, need_seq};
-  parallel_for(n_records, n_threads, pack_body, &ctx);
+  *out_flags = has_nul.load() ? 1 : 0;
   return 0;
 }
 

@@ -83,6 +83,10 @@ class PackedReads:
     n_records: int
 
     workspace: Optional["PackWorkspace"] = None  # owner of the buffers, if reused
+    # True when the packer proved no read's quality string contains a NUL
+    # byte, i.e. zero bytes in ``qual`` are exactly the padding — the
+    # invariant the TPU path needs to derive lengths on device.
+    qual_clean: bool = False
 
     @property
     def batch_size(self) -> int:
@@ -106,6 +110,10 @@ class PackWorkspace:
         self.capacity = 0  # records
         self.L = 0
         self.need_seq = need_seq
+        # running estimate of bytes per record, used as the native line
+        # indexer's scan hint so a streaming chunk never scans far past
+        # its own records (shared across chunks via the engine's pool)
+        self.est_rec_bytes = 0
 
     def ensure(self, max_records: int, L: int, batch_multiple: int) -> None:
         B = _round_up(max(max_records, 1), batch_multiple)
@@ -233,6 +241,7 @@ def pack_fastq(
     qual = np.zeros((B, L), dtype=np.uint8)
     seq = np.zeros((B, L), dtype=np.uint8) if need_seq else qual
     lengths = np.zeros(B, dtype=np.int32)
+    qual_clean = False
     if n:
         lengths[:n] = seq_len
         lane = np.arange(L, dtype=np.int64)
@@ -248,6 +257,8 @@ def pack_fastq(
             arr[np.minimum(qual_start[:, None] + lane[None, :], arr.size - 1)],
             where=valid,
         )
+        # no NUL inside any read <=> nonzeros == total read bytes
+        qual_clean = int(np.count_nonzero(qual[:n])) == int(seq_len.sum())
 
     return PackedReads(
         data=arr,
@@ -263,6 +274,7 @@ def pack_fastq(
         positions=positions,
         n_records=n,
         workspace=workspace,  # passed through so pool recycling works
+        qual_clean=qual_clean,
     )
 
 
@@ -290,6 +302,7 @@ def pack_fastq_stream(
     len_multiple: int = 8,
     workspace: PackWorkspace,
     need_seq: bool = True,
+    est_rec_bytes: int = 0,
 ) -> Tuple[PackedReads, int]:
     """Parse up to ``max_records`` records from ``arr[offset:]`` in place.
 
@@ -301,6 +314,7 @@ def pack_fastq_stream(
     records (consumed covers it) — the loop's natural termination.
     """
     view = arr[offset:]
+    workspace.est_rec_bytes = max(workspace.est_rec_bytes, est_rec_bytes)
     packed = _pack_fastq_native(
         view, workspace, start_position, l_max, batch_multiple, len_multiple,
         need_seq, max_records=max_records,
@@ -328,18 +342,25 @@ def _pack_fastq_native(
     if not need_seq:
         ws.need_seq = False
     lib = native.get_lib()
+    scan_hint = 0  # whole buffer
     if max_records is None:
         n_lines = lib.sk_count_lines(native.ptr(arr, ctypes.c_uint8), arr.size)
         max_records = max(int(n_lines) // 4 + 1, 1)
+    elif ws.est_rec_bytes:
+        # streaming chunk out of a larger buffer: scan only ~the records
+        # we will take (the indexer self-extends if the estimate is short)
+        scan_hint = max_records * (ws.est_rec_bytes + 16)
     L = _round_up(max(l_max or 0, 1), len_multiple)
     ws.ensure(max_records, L, batch_multiple)
 
     n_out = np.zeros(1, np.int64)
     max_len = np.zeros(1, np.int64)
     err_rec = np.full(1, -1, np.int64)
+    flags = np.zeros(1, np.int64)
     for _attempt in range(2):
-        rc = lib.sk_parse_pack(
-            native.ptr(arr, ctypes.c_uint8), arr.size, max_records, ws.L,
+        rc = lib.sk_parse_pack2(
+            native.ptr(arr, ctypes.c_uint8), arr.size, max_records, scan_hint,
+            ws.L,
             native.ptr(ws.starts4, ctypes.c_int64),
             native.ptr(ws.lens4, ctypes.c_int32),
             native.ptr(ws.seq, ctypes.c_uint8),
@@ -348,6 +369,7 @@ def _pack_fastq_native(
             native.ptr(n_out, ctypes.c_int64),
             native.ptr(max_len, ctypes.c_int64),
             native.ptr(err_rec, ctypes.c_int64),
+            native.ptr(flags, ctypes.c_int64),
             native.N_THREADS,
             1 if need_seq else 0,
         )
@@ -361,6 +383,9 @@ def _pack_fastq_native(
         raise AssertionError("native pack failed to size rows")
 
     n = int(n_out[0])
+    if n:
+        last = int(ws.starts4[4 * n - 1]) + int(ws.lens4[4 * n - 1])
+        ws.est_rec_bytes = max(ws.est_rec_bytes, -(-last // n))
     B = _round_up(max(n, 1), batch_multiple)
     if n < B:
         # padding rows must read as empty — including stale bytes from a
@@ -385,6 +410,7 @@ def _pack_fastq_native(
         positions=(start_position + 1 + np.arange(n)).astype(np.int32),
         n_records=n,
         workspace=ws,
+        qual_clean=int(flags[0]) & 1 == 0,
     )
 
 

@@ -32,6 +32,13 @@ _tried = False
 N_THREADS = max(1, (os.cpu_count() or 2))
 
 
+def set_threads(n: int) -> None:
+    """Set the host worker-thread count (the CLI's -a/--threads; reference
+    src/trim_single.cpp:163 semantics mapped to our intra-op parallelism)."""
+    global N_THREADS
+    N_THREADS = max(1, int(n))
+
+
 def tune_malloc() -> None:
     """Keep freed memory in the process heap (see module docstring)."""
     try:
@@ -82,10 +89,10 @@ def get_lib():
         lib.sk_count_newlines.argtypes = [pu8, i64]
         lib.sk_kth_newline.restype = i64
         lib.sk_kth_newline.argtypes = [pu8, i64, i64]
-        lib.sk_parse_pack.restype = ctypes.c_int
-        lib.sk_parse_pack.argtypes = [
-            pu8, i64, i64, i64, p64, p32, pu8, pu8, p32, p64, p64, p64,
-            ctypes.c_int, ctypes.c_int,
+        lib.sk_parse_pack2.restype = ctypes.c_int
+        lib.sk_parse_pack2.argtypes = [
+            pu8, i64, i64, i64, i64, p64, p32, pu8, pu8, p32, p64, p64, p64,
+            p64, ctypes.c_int, ctypes.c_int,
         ]
         lib.sk_assemble.restype = None
         lib.sk_assemble.argtypes = [

@@ -129,7 +129,6 @@ def test_cli_pe_M_mode(tmp_path, reference_fixtures, capsys):
     )
     assert inter.read_bytes() == want
     # every input record appears exactly once (pairing preserved)
-    n_out = inter.read_bytes().count(b"\n@HWI") + 1  # first record too
     assert len(want.split(b"\n")) - 1 == 10000
 
 
