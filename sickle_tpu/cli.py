@@ -116,6 +116,7 @@ Options:
 --devices, Number of accelerator chips to shard each batch over. Default: all.
 --profile, Write a JAX profiler trace to the given directory.
 --checkpoint, Sidecar file making the run restartable (re-run the same command to resume; plain output only).
+--strict, Error on ANY out-of-range quality char (default: only chars the trimming scan touches error, matching sickle 1.33).
 --quiet, Don't print out any trimming information
 --help, display this help and exit
 --version, output version information and exit
@@ -158,6 +159,7 @@ Paired-end interleaved reads
 --devices, Number of accelerator chips to shard each batch over. Default: all.
 --profile, Write a JAX profiler trace to the given directory.
 --checkpoint, Sidecar file making the run restartable (re-run the same command to resume; plain output only).
+--strict, Error on ANY out-of-range quality char (default: only chars the trimming scan touches error, matching sickle 1.33).
 -g, --gzip-output, Output gzipped files.
 --quiet, do not output trimming info
 --help, display this help and exit
@@ -254,7 +256,7 @@ def se_main(argv: List[str]) -> int:
         "fastq-file=", "output-file=", "qual-type=", "qual-threshold=",
         "length-threshold=", "no-fiveprime", "discard-n", "gzip-output",
         "quiet", "threads=", "batch=", "compat=", "devices=", "profile=",
-        "checkpoint=", "help", "version",
+        "checkpoint=", "strict", "help", "version",
     ]
     try:
         opts, extra = getopt.gnu_getopt(argv, "df:t:o:q:a:b:l:zxng", longopts)
@@ -265,7 +267,7 @@ def se_main(argv: List[str]) -> int:
     infn = outfn = None
     qualtype = None
     q_thresh, l_thresh = 20, 20
-    no_five = trunc_n = gzip_out = quiet = debug = False
+    no_five = trunc_n = gzip_out = quiet = debug = strict = False
     batch_mb = None
     devices = None
     compat = Compat.V133
@@ -293,6 +295,8 @@ def se_main(argv: List[str]) -> int:
                 return 1
         elif o in ("-x", "--no-fiveprime"):
             no_five = True
+        elif o == "--strict":
+            strict = True
         elif o in ("-n", "--discard-n"):
             trunc_n = True
         elif o in ("-g", "--gzip-output"):
@@ -337,6 +341,7 @@ def se_main(argv: List[str]) -> int:
         no_fiveprime=no_five,
         trunc_n=trunc_n,
         compat=compat,
+        strict=strict,
     )
     rpc = _records_per_chunk(batch_mb)
     cuts_fn, rpc = _build_cuts_fn(params, devices, rpc)
@@ -402,7 +407,8 @@ def pe_main(argv: List[str]) -> int:
         "output-pe1=", "output-pe2=", "output-single=", "output-interleaved=",
         "output-n=", "qual-threshold=", "length-threshold=", "no-fiveprime",
         "truncate-n", "gzip-output", "quiet", "threads=", "batch=",
-        "compat=", "devices=", "profile=", "checkpoint=", "help", "version",
+        "compat=", "devices=", "profile=", "checkpoint=", "strict", "help",
+        "version",
     ]
     try:
         opts, extra = getopt.gnu_getopt(argv, "df:r:c:t:o:p:m:M:s:q:a:b:l:xng", longopts)
@@ -415,7 +421,7 @@ def pe_main(argv: List[str]) -> int:
     n_record_mode = False
     qualtype = None
     q_thresh, l_thresh = 20, 20
-    no_five = trunc_n = gzip_out = quiet = debug = False
+    no_five = trunc_n = gzip_out = quiet = debug = strict = False
     batch_mb = None
     devices = None
     compat = Compat.V133
@@ -456,6 +462,8 @@ def pe_main(argv: List[str]) -> int:
                 return 1
         elif o in ("-x", "--no-fiveprime"):
             no_five = True
+        elif o == "--strict":
+            strict = True
         elif o in ("-n", "--truncate-n"):
             trunc_n = True
         elif o in ("-g", "--gzip-output"):
@@ -526,6 +534,7 @@ def pe_main(argv: List[str]) -> int:
         no_fiveprime=no_five,
         trunc_n=trunc_n,
         compat=compat,
+        strict=strict,
     )
     rpc = _records_per_chunk(batch_mb)
     cuts_fn, rpc = _build_cuts_fn(params, devices, rpc)

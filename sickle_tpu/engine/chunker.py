@@ -50,22 +50,37 @@ def _nl_kth(block: bytes, k: int) -> int:
 
 def iter_record_chunks(
     stream: BinaryIO,
-    records_per_chunk: int,
+    records_per_chunk,
     lines_per_record: int = 4,
     block_bytes: int = BLOCK_BYTES,
     skip_records: int = 0,
+    max_chunk_bytes: int = 0,
+    align_records: int = 1,
 ) -> Iterator[bytes]:
     """Yield byte buffers of exactly ``records_per_chunk`` records each.
 
     The final chunk may be short; a trailing unterminated line counts as a
     line (matching ``pack_fastq``).  Lines are only counted, never copied
-    per-line.
+    per-line.  ``records_per_chunk`` may be a zero-arg callable,
+    re-evaluated per chunk (the engine shrinks chunks once long reads are
+    seen, EngineConfig.bytes_per_batch).
 
     ``skip_records`` drops that many records from the stream's start
     before the first yield (checkpoint/resume fast-forward): the skipped
     bytes are scanned for record boundaries but never buffered or packed.
+
+    ``max_chunk_bytes`` (if nonzero) yields a short chunk once the
+    pending bytes exceed it — the memory bound for long-read inputs whose
+    record size is unknown before the first chunk.  Short chunks are cut
+    at a multiple of ``align_records`` records (pe interleaved: 2, whole
+    pairs).
     """
-    target = records_per_chunk * lines_per_record
+    records_fn = (
+        records_per_chunk if callable(records_per_chunk)
+        else lambda: records_per_chunk
+    )
+    target = records_fn() * lines_per_record
+    align_lines = align_records * lines_per_record
     pending: list[bytes] = []
     nl_pending = 0
     carried: bytes = b""
@@ -98,8 +113,20 @@ def iter_record_chunks(
             nl_pending = 0
             block = block[cut:]
             n_nl -= need
+            target = records_fn() * lines_per_record
         if block:
             pending.append(block)
             nl_pending += n_nl
+            if max_chunk_bytes and nl_pending >= align_lines:
+                pending_bytes = sum(len(b) for b in pending)
+                if pending_bytes >= max_chunk_bytes:
+                    buf = pending[0] if len(pending) == 1 else b"".join(pending)
+                    k = (nl_pending // align_lines) * align_lines
+                    cut = _nl_kth(buf, k) + 1
+                    yield buf[:cut]
+                    rest = buf[cut:]
+                    pending = [rest] if rest else []
+                    nl_pending -= k
+                    target = records_fn() * lines_per_record
     if pending:
         yield b"".join(pending)

@@ -42,6 +42,7 @@ from ..oracle import (
     PECounters,
     SECounters,
     decode_qual,
+    sliding_window_cuts,
 )
 from ..ops import TrimParams, compute_cuts_jit
 from .chunker import iter_record_chunks
@@ -97,6 +98,10 @@ class EngineConfig:
     records_per_chunk: int = 1 << 16
     prefetch: int = 2
     compat: Compat = Compat.V133
+    # cap on one padded device batch's bytes (rows x padded length): long
+    # reads (ONT/PacBio) shrink the row count per chunk instead of
+    # exploding host/device memory (SURVEY.md §5.7)
+    bytes_per_batch: int = 64 << 20
     slice_rows: int = dataclasses.field(
         default_factory=lambda: int(os.environ.get("SICKLE_TPU_SLICE_ROWS", 1 << 15))
     )
@@ -150,6 +155,19 @@ def _skip_offset(arr: np.ndarray, offset: int, n_lines: int) -> Optional[int]:
     return None if pos < 0 else offset + pos + 1
 
 
+def _effective_chunk(cfg: EngineConfig, l_max: int) -> Tuple[int, int]:
+    """(records, batch_multiple) for the next chunk, bounded so one padded
+    batch stays within ``cfg.bytes_per_batch``.  150 bp reads keep the
+    configured chunk/slice shape; 50 kbp reads drop to ~1.3k rows/chunk
+    with a matching power-of-two padding multiple."""
+    L = max(l_max, 8)
+    eff = min(cfg.records_per_chunk, max(8, cfg.bytes_per_batch // L))
+    eff &= ~1  # pe interleaved packs mates adjacently; keep pairs whole
+    if eff >= cfg.slice_rows:
+        return eff, cfg.slice_rows
+    return eff, max(8, 1 << (eff.bit_length() - 1))
+
+
 def default_cuts_fn(params: TrimParams, cfg: Optional[EngineConfig] = None) -> CutsFn:
     """Backend-aware device step.
 
@@ -181,18 +199,20 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
       ``inflight`` window: small RPCs ride the link's fast path and
       transfers overlap compute, while all device interaction stays on
       the calling thread
-    * per sub-batch output: (five, three) packed as one int32 per read +
-      a first-bad-row scalar (requires L < 32766; reads that long are
-      rejected host-side long before here)
+    * per sub-batch output: one int32 per read — (five+1) in bits 16-30,
+      a has-bad-quality flag in bit 15, (three+1) in bits 0-14.  Long
+      reads (L >= 32766, where three+1 no longer fits 15 bits) switch to
+      an unpacked [3, B] result: 12 B/read D2H, negligible next to their
+      row bytes.
 
-    Kernel choice: the fused XLA select-merge formulation by default
-    (compiles in seconds, robust); SICKLE_TPU_KERNEL=pallas selects the
-    single-pass Pallas kernel (lowest HBM traffic).
+    Kernel choice: the fused XLA formulation by default (compiles in
+    seconds, robust); SICKLE_TPU_KERNEL=pallas selects the single-pass
+    Pallas kernel (lowest HBM traffic).
     """
     import jax
     import jax.numpy as jnp
 
-    from ..ops.trim import BIG, compute_cuts
+    from ..ops.trim import compute_cuts
 
     if os.environ.get("SICKLE_TPU_KERNEL") == "pallas":
         from ..ops.trim_pallas import compute_cuts_pallas
@@ -207,10 +227,10 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
 
     def encode(seq, qual, lengths):
         five, three, bad = kernel(seq, qual, lengths)
-        codes = (three + 1) | ((five + 1) << 16)
-        rows = jnp.arange(lengths.shape[0], dtype=jnp.int32)
-        badrow = jnp.min(jnp.where(bad < lengths, rows, BIG))
-        return jnp.concatenate([codes, jnp.full((8,), badrow, jnp.int32)])
+        flagged = (bad < lengths).astype(jnp.int32)
+        if qual.shape[1] < MAX_PACKED_L:
+            return (three + 1) | (flagged << 15) | ((five + 1) << 16)
+        return jnp.stack([five, three, flagged])
 
     def derive_lengths(qual):
         lane = jax.lax.broadcasted_iota(jnp.int32, qual.shape, 1)
@@ -232,20 +252,12 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
     def step_explicit(seq, qual, lengths):  # fallback: NUL bytes in qual
         return encode(seq, qual, lengths.astype(jnp.int32))
 
+    @jax.jit
+    def step_explicit_q(qual, lengths):  # same, qual-only (no -n)
+        return encode(qual, qual, lengths.astype(jnp.int32))
+
     needs_seq = params.trunc_n
     SL = slice_rows
-
-    def decode_slices(outs, B):
-        """Per-slice [SL+8] code vectors -> (five, three, bad) over B rows."""
-        codes = np.concatenate([o[:-8] for o in outs])
-        three = (codes & 0xFFFF).astype(np.int32) - 1
-        five = (codes >> 16).astype(np.int32) - 1
-        bad = np.full(B, BIG, np.int32)
-        for k, o in enumerate(outs):
-            badrow = int(o[-1])
-            if badrow < SL:
-                bad[k * SL + badrow] = 0  # position re-derived host-side
-        return five, three, bad
 
     def fn(seq, qual, lengths, qual_clean=False):
         lengths = np.asarray(lengths)
@@ -255,15 +267,9 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
         # (A NUL inside a read is an invalid quality char; route through
         # the explicit path so it errors, not truncates.)
         if not qual_clean or B % SL:
-            r = step_explicit(seq, qual, lengths)
-            arr = np.asarray(r)
-            codes, badrow = arr[:-8], int(arr[-1])
-            three = (codes & 0xFFFF).astype(np.int32) - 1
-            five = (codes >> 16).astype(np.int32) - 1
-            bad = np.full(B, BIG, np.int32)
-            if badrow < B:
-                bad[badrow] = 0
-            return five, three, bad
+            r = (step_explicit(seq, qual, lengths) if needs_seq
+                 else step_explicit_q(qual, lengths))
+            return _decode_codes(np.asarray(r))
 
         futs: list = []
         outs: list = []
@@ -275,7 +281,8 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
             if len(futs) > inflight:
                 outs.append(np.asarray(futs.pop(0)))
         outs.extend(np.asarray(f) for f in futs)
-        return decode_slices(outs, B)
+        axis = 1 if outs[0].ndim == 2 else 0
+        return _decode_codes(np.concatenate(outs, axis=axis))
 
     return fn
 
@@ -288,48 +295,85 @@ def _tile_for(b: int) -> int:
     return b
 
 
+# (three+1) must fit 15 bits in the packed result encoding; longer rows
+# use the unpacked [3, B] device result
+MAX_PACKED_L = 32766
+
+
+def _decode_codes(arr: np.ndarray):
+    """Device result -> (five, three, bad) int32 arrays.
+
+    ``arr`` is either the packed per-read int32 codes (see _tpu_cuts_fn)
+    or the long-read [3, B] (five, three, flag) stack.  ``bad`` is 0 for
+    rows the device flagged as containing an out-of-range quality char,
+    BIG otherwise (exact position re-derived host-side from the bytes).
+    """
+    from ..ops.trim import BIG
+
+    if arr.ndim == 2:
+        five = arr[0].astype(np.int32)
+        three = arr[1].astype(np.int32)
+        flag = arr[2] != 0
+    else:
+        three = (arr & 0x7FFF).astype(np.int32) - 1
+        five = (arr >> 16).astype(np.int32) - 1
+        flag = (arr >> 15) & 1 == 1
+    bad = np.where(flag, 0, BIG).astype(np.int32)
+    return five, three, bad
+
+
 def _materialize(result, n: int):
     """Fetch device results -> (five, three, first_bad) numpy arrays.
 
     Accepts a (five, three, bad) tuple of device arrays, or the TPU path's
-    encoded [B+8] int32 vector (codes + replicated first-bad-row scalar),
-    decoded here into the same contract."""
-    from ..ops.trim import BIG
-
+    encoded int32 result (see _decode_codes), decoded into the same
+    contract."""
     if isinstance(result, tuple):
         five, three, bad = (np.asarray(r) for r in result)
         return five[:n], three[:n], bad
-    arr = np.asarray(result)
-    codes = arr[:-8]
-    badrow = int(arr[-1])
-    three = (codes & 0xFFFF).astype(np.int32) - 1
-    five = (codes >> 16).astype(np.int32) - 1
-    # reconstruct a per-row first_bad array: BIG everywhere except the
-    # first offending row (exact position re-derived host-side from bytes)
-    bad = np.full(codes.size, BIG, np.int32)
-    if badrow < codes.size:
-        bad[badrow] = 0
+    five, three, bad = _decode_codes(np.asarray(result))
     return five[:n], three[:n], bad
 
 
-def _raise_quality_error(packed: PackedReads, row: int, params: TrimParams):
-    """Re-scan the offending record scalar for the reference's exact
-    message (src/trim.cpp:121-134)."""
+def _recheck_quality_row(packed: PackedReads, row: int, params: TrimParams):
+    """The device flagged an out-of-range quality char in this row; decide
+    host-side with the scalar reference semantics.
+
+    Under ``--strict`` every bad char errors (whole-read check).  The
+    default matches sickle 1.33 exactly: only chars the scan touches
+    error (it breaks at the 3' cut, src/trim.cpp:66-73), so the lazy
+    scalar re-scan raises iff the reference would — with its exact
+    message — and completes silently for junk past the scan extent
+    (whose device-computed cuts are unaffected; see ops.trim.decode_check).
+    """
     arr = packed.data
     name = arr[
         packed.name_start[row] : packed.name_start[row] + packed.name_len[row]
     ].tobytes()
     L = int(packed.lengths[row])
     qual = arr[packed.qual_start[row] : packed.qual_start[row] + L].tobytes()
-    decode_qual(qual, params.qualtype, name)
-    raise AssertionError("device flagged a quality error the host cannot find")
+    if params.strict:
+        decode_qual(qual, params.qualtype, name)
+        raise AssertionError(
+            "device flagged a quality error the host cannot find"
+        )
+    seq = arr[packed.seq_start[row] : packed.seq_start[row] + L].tobytes()
+    sliding_window_cuts(
+        seq, qual,
+        qualtype=params.qualtype,
+        qual_threshold=params.qual_threshold,
+        length_threshold=params.length_threshold,
+        no_fiveprime=params.no_fiveprime,
+        trunc_n=params.trunc_n,
+        compat=params.compat,
+        name=name,
+    )
 
 
 def _check_quality(packed: PackedReads, first_bad: np.ndarray, params: TrimParams):
     n = packed.n_records
-    bad = first_bad[:n] < packed.lengths[:n]
-    if bad.any():
-        _raise_quality_error(packed, int(np.argmax(bad)), params)
+    for row in np.flatnonzero(first_bad[:n] < packed.lengths[:n]):
+        _recheck_quality_row(packed, int(row), params)
 
 
 class _Pipeline:
@@ -453,14 +497,16 @@ def run_se(
             off = _skip_offset(arr, off, 4 * cfg.skip_records)
             while off is not None and off < arr.size:
                 ws = pipe.get_workspace()
+                eff, bm = _effective_chunk(cfg, state["l_max"])
                 packed, consumed = pack_fastq_stream(
-                    arr, off, cfg.records_per_chunk,
+                    arr, off, eff,
                     start_position=state["consumed"],
                     l_max=state["l_max"],
-                    batch_multiple=cfg.slice_rows,
+                    batch_multiple=bm,
                     workspace=ws,
                     need_seq=params.trunc_n,
                     est_rec_bytes=state["est"],
+                    batch_bytes=cfg.bytes_per_batch,
                 )
                 off += consumed
                 if packed.n_records == 0:  # trailing partial record
@@ -471,15 +517,19 @@ def run_se(
                 state["est"] = max(state["est"], -(-consumed // packed.n_records))
                 pipe.pack_q.put(packed)
             return
-        for chunk in iter_record_chunks(in_stream, cfg.records_per_chunk,
-                                        skip_records=cfg.skip_records):
+        for chunk in iter_record_chunks(
+            in_stream, lambda: _effective_chunk(cfg, state["l_max"])[0],
+            skip_records=cfg.skip_records,
+            max_chunk_bytes=3 * cfg.bytes_per_batch,
+        ):
             packed = pack_fastq(
                 chunk,
                 start_position=state["consumed"],
                 l_max=state["l_max"],
-                batch_multiple=cfg.slice_rows,
+                batch_multiple=_effective_chunk(cfg, state["l_max"])[1],
                 workspace=pipe.get_workspace(),
                 need_seq=params.trunc_n,
+                batch_bytes=cfg.bytes_per_batch,
             )
             state["consumed"] += packed.n_records
             state["l_max"] = max(state["l_max"], packed.max_len)
@@ -533,12 +583,23 @@ def run_se(
 
 
 def _pair_chunks_two_file(
-    in1: BinaryIO, in2: BinaryIO, records_per_chunk: int, skip_each: int = 0
+    in1: BinaryIO, in2: BinaryIO, records_per_chunk, skip_each: int = 0,
+    max_chunk_bytes: int = 0,
 ) -> Iterator[Tuple[bytes, bytes]]:
-    it1 = iter_record_chunks(in1, records_per_chunk, skip_records=skip_each)
-    it2 = iter_record_chunks(in2, records_per_chunk, skip_records=skip_each)
+    # Only file 1 is byte-capped; file 2 follows file 1's exact record
+    # count, so a short (byte-capped) chunk can never desynchronize the
+    # pair streams even when mate record sizes differ.
+    follow = {"n": 0}
+    it1 = iter_record_chunks(in1, records_per_chunk, skip_records=skip_each,
+                             max_chunk_bytes=max_chunk_bytes)
+    it2 = iter_record_chunks(in2, lambda: follow["n"], skip_records=skip_each)
     while True:
         c1 = next(it1, None)
+        if c1 is not None:
+            nl = c1.count(b"\n")
+            if not c1.endswith(b"\n"):
+                nl += 1
+            follow["n"] = max(nl // 4, 1)
         c2 = next(it2, None)
         if c1 is None and c2 is None:
             return
@@ -586,21 +647,25 @@ def run_pe(
         raise ValueError("pe skip_records must be even (whole pairs)")
     state = {"consumed": cfg.skip_records, "l_max": 0, "est": 0}
     outbuf = OutputBuffer()
-    rpc = cfg.records_per_chunk
-    if interleaved and rpc % 2:
-        rpc += 1
-    # slice_rows is even (power of two), so mates packed adjacently in an
-    # interleaved chunk always land in the same padded batch
-    bm = cfg.slice_rows if cfg.slice_rows % 2 == 0 else 2 * cfg.slice_rows
 
-    def pack(chunk: bytes, batch_multiple: Optional[int] = None) -> PackedReads:
+    def eff_chunk():
+        """Per-chunk (records, batch_multiple), byte-capped for long reads.
+        Both are even (whole pairs; mates packed adjacently always land in
+        the same padded batch)."""
+        eff, bm = _effective_chunk(cfg, state["l_max"])
+        if bm % 2:
+            bm *= 2
+        return eff, bm
+
+    def pack(chunk: bytes) -> PackedReads:
         packed = pack_fastq(
             chunk,
             start_position=state["consumed"],
             l_max=state["l_max"],
-            batch_multiple=batch_multiple or bm,
+            batch_multiple=eff_chunk()[1],
             workspace=pipe.get_workspace(),
             need_seq=params.trunc_n,
+            batch_bytes=cfg.bytes_per_batch,
         )
         state["l_max"] = max(state["l_max"], packed.max_len)
         return packed
@@ -622,8 +687,9 @@ def run_pe(
                 off = _skip_offset(arr, off, 4 * cfg.skip_records)
                 while off is not None and off < arr.size:
                     ws = pipe.get_workspace()
+                    eff, bm = eff_chunk()
                     packed, consumed = pack_fastq_stream(
-                        arr, off, rpc,
+                        arr, off, eff,
                         start_position=state["consumed"],
                         l_max=state["l_max"],
                         batch_multiple=bm,
@@ -641,8 +707,10 @@ def run_pe(
                     )
                     put_interleaved(packed)
                 return
-            for chunk in iter_record_chunks(in1, rpc,
-                                            skip_records=cfg.skip_records):
+            for chunk in iter_record_chunks(in1, lambda: eff_chunk()[0],
+                                            skip_records=cfg.skip_records,
+                                            max_chunk_bytes=3 * cfg.bytes_per_batch,
+                                            align_records=2):
                 put_interleaved(pack(chunk))
         else:
             m1 = _mmap_input(in1) if native.available() else None
@@ -653,8 +721,11 @@ def run_pe(
             # pack both mate files' chunks as ONE batch (mate-2 rows after
             # mate-1 rows): one device call per chunk, one shared source
             # buffer for output assembly (incl. mixed-source singles)
-            for c1, c2 in _pair_chunks_two_file(in1, in2, rpc,
-                                                skip_each=cfg.skip_records // 2):
+            for c1, c2 in _pair_chunks_two_file(
+                in1, in2, lambda: max(eff_chunk()[0] // 2, 4),
+                skip_each=cfg.skip_records // 2,
+                max_chunk_bytes=3 * cfg.bytes_per_batch,
+            ):
                 if not c1.endswith(b"\n"):
                     c1 += b"\n"  # keep c2's first line separate at EOF
                 n1 = c1.count(b"\n") // 4
@@ -681,13 +752,15 @@ def run_pe(
         while True:
             pk1 = pk2 = None
             n1 = n2 = 0
+            eff, bm = eff_chunk()
             if off1 is not None and off1 < arr1.size:
                 ws1 = pipe.get_workspace()
                 pk1, c1 = pack_fastq_stream(
-                    arr1, off1, rpc, start_position=pos,
+                    arr1, off1, eff, start_position=pos,
                     l_max=state["l_max"], batch_multiple=bm,
                     workspace=ws1, need_seq=params.trunc_n,
                     est_rec_bytes=state["est"],
+                    batch_bytes=cfg.bytes_per_batch,
                 )
                 off1 += c1
                 state["l_max"] = max(state["l_max"], pk1.max_len)
@@ -704,6 +777,7 @@ def run_pe(
                     l_max=state["l_max"], batch_multiple=bm,
                     workspace=ws2, need_seq=params.trunc_n,
                     est_rec_bytes=state["est"],
+                    batch_bytes=cfg.bytes_per_batch,
                 )
                 off2 += c2
                 state["l_max"] = max(state["l_max"], pk2.max_len)

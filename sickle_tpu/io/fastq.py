@@ -148,6 +148,19 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _clamp_bm(batch_multiple: int, n: int, L: int, batch_bytes: Optional[int]) -> int:
+    """Halve the padding multiple until the padded batch fits the byte
+    budget (long reads: never pad 24 rows of 40 kbp up to a 32768-row
+    slice).  Real rows always fit — the floor is the records themselves."""
+    if not batch_bytes:
+        return batch_multiple
+    target = max(batch_bytes, max(n, 1) * L)
+    bm = batch_multiple
+    while bm > 8 and _round_up(max(n, 1), bm) * L > target:
+        bm //= 2
+    return bm
+
+
 def _validate(
     arr: np.ndarray,
     name_start: np.ndarray,
@@ -193,6 +206,7 @@ def pack_fastq(
     validate: bool = True,
     workspace: Optional[PackWorkspace] = None,
     need_seq: bool = True,
+    batch_bytes: Optional[int] = None,
 ) -> PackedReads:
     """Parse a FASTQ byte buffer into a :class:`PackedReads`.
 
@@ -209,7 +223,7 @@ def pack_fastq(
     if workspace is not None and native.available():
         return _pack_fastq_native(
             arr, workspace, start_position, l_max, batch_multiple, len_multiple,
-            need_seq,
+            need_seq, batch_bytes=batch_bytes,
         )
     starts, ends = _line_index(arr)
     n_lines = starts.size - starts.size % 4
@@ -236,7 +250,7 @@ def pack_fastq(
 
     max_len = int(seq_len.max()) if n else 1
     L = _round_up(max(l_max or 0, max_len, 1), len_multiple)
-    B = _round_up(max(n, 1), batch_multiple)
+    B = _round_up(max(n, 1), _clamp_bm(batch_multiple, n, L, batch_bytes))
 
     qual = np.zeros((B, L), dtype=np.uint8)
     seq = np.zeros((B, L), dtype=np.uint8) if need_seq else qual
@@ -303,6 +317,7 @@ def pack_fastq_stream(
     workspace: PackWorkspace,
     need_seq: bool = True,
     est_rec_bytes: int = 0,
+    batch_bytes: Optional[int] = None,
 ) -> Tuple[PackedReads, int]:
     """Parse up to ``max_records`` records from ``arr[offset:]`` in place.
 
@@ -317,7 +332,8 @@ def pack_fastq_stream(
     workspace.est_rec_bytes = max(workspace.est_rec_bytes, est_rec_bytes)
     packed = _pack_fastq_native(
         view, workspace, start_position, l_max, batch_multiple, len_multiple,
-        need_seq, max_records=max_records,
+        need_seq, max_records=max_records, batch_bytes=batch_bytes,
+        shrink_records=True,
     )
     n = packed.n_records
     if n == 0:
@@ -336,6 +352,8 @@ def _pack_fastq_native(
     len_multiple: int,
     need_seq: bool = True,
     max_records: Optional[int] = None,
+    batch_bytes: Optional[int] = None,
+    shrink_records: bool = False,
 ) -> PackedReads:
     import ctypes
 
@@ -377,8 +395,18 @@ def _pack_fastq_native(
             break
         if rc == 1:
             _raise_validation_error_native(arr, ws, int(err_rec[0]), start_position)
-        # rc == 2: rows longer than L -> grow and retry once
-        ws.ensure(max_records, _round_up(int(max_len[0]), len_multiple), batch_multiple)
+        # rc == 2: rows longer than L -> grow and retry once.  Streaming
+        # callers (consumed-byte contract) also shrink the record count so
+        # the retried batch honors the byte budget — the remainder simply
+        # lands in the next chunk (long reads discovered mid-stream).
+        grown_L = _round_up(int(max_len[0]), len_multiple)
+        if shrink_records and batch_bytes:
+            # even count: pe interleaved chunks must hold whole pairs
+            max_records = min(max_records,
+                              max(8, batch_bytes // grown_L) & ~1)
+            batch_multiple = _clamp_bm(batch_multiple, max_records, grown_L,
+                                       batch_bytes)
+        ws.ensure(max_records, grown_L, batch_multiple)
     else:
         raise AssertionError("native pack failed to size rows")
 
@@ -386,7 +414,7 @@ def _pack_fastq_native(
     if n:
         last = int(ws.starts4[4 * n - 1]) + int(ws.lens4[4 * n - 1])
         ws.est_rec_bytes = max(ws.est_rec_bytes, -(-last // n))
-    B = _round_up(max(n, 1), batch_multiple)
+    B = _round_up(max(n, 1), _clamp_bm(batch_multiple, n, ws.L, batch_bytes))
     if n < B:
         # padding rows must read as empty — including stale bytes from a
         # previous (fuller) chunk in this reused workspace, so the TPU

@@ -49,6 +49,11 @@ class TrimParams:
     no_fiveprime: bool = False
     trunc_n: bool = False
     compat: Compat = Compat.V133
+    # --strict: error on ANY out-of-range quality char.  Default matches
+    # the reference exactly: only chars its scan touches error (it breaks
+    # at the 3' cut, src/trim.cpp:66-73), decided host-side per flagged
+    # row by a lazy scalar re-scan (engine._recheck_quality_row).
+    strict: bool = False
 
 
 def _first_index(mask: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
@@ -64,12 +69,16 @@ def decode_check(qual: jnp.ndarray, lengths: jnp.ndarray, qualtype: QualityType)
     Returns ``(q, first_bad)`` where ``q`` is ``int32[B, L]`` decoded
     quality (junk beyond ``lengths``) and ``first_bad`` is ``int32[B]``:
     the first 0-based position whose char is outside the encoding's
-    [min, max] (reference src/trim.cpp:121-134), or BIG if none.  The host
-    re-scans the offending record for the exact error message.
+    [min, max] (reference src/trim.cpp:121-134), or BIG if none.
 
-    Note: we validate the WHOLE read; the reference only validates chars
-    its scan happens to touch (it breaks at the 3' cut).  Strict validation
-    is deliberate — it is deterministic and order-independent.
+    The device check covers the WHOLE read — a conservative flag.  The
+    host decides per flagged row whether the reference's scan would have
+    touched the bad char (it breaks at the 3' cut, so junk past the scan
+    extent trims fine in sickle 1.33) unless ``params.strict``; either
+    way the exact error message is re-derived scalar host-side.  A bad
+    char past the scan extent cannot change the cuts: every window the
+    trigger reductions can select ends before the first untouched
+    position, so the device's cuts for benign-flagged rows are valid.
     """
     offset, qmin, qmax = QUALITY_CONSTANTS[qualtype]
     raw = qual.astype(jnp.int32)
@@ -84,12 +93,18 @@ def compute_cuts(
     qual: jnp.ndarray,  # uint8[B, L] raw ASCII quality bytes
     lengths: jnp.ndarray,  # int32[B]; 0 marks padding rows
     params: TrimParams,
+    formulation: str = "auto",
 ):
     """Compute per-read cutsites.
 
     Returns ``(five, three, first_bad)`` int32[B] arrays; ``(-1, -1)``
     means discard (reference cutsites contract, src/sickle.h:93-96).
     Padding rows (length 0) are always discarded.
+
+    ``formulation`` picks how the per-row dynamic shift ``D[i+w]`` is
+    resolved: ``"shift"`` (O(log L) static shifts — TPU default, where a
+    lane-axis gather is ~1000x slow) or ``"gather"`` (one
+    take_along_axis — CPU/GPU default).  ``"auto"`` selects by backend.
     """
     B, L = qual.shape
     t = jnp.int32(params.qual_threshold)
@@ -118,21 +133,31 @@ def compute_cuts(
     d = c_excl - t * lane  # D[j]
     d_last = (csum[:, L - 1] - t * L)[:, None]  # D[L]
 
-    if jax.default_backend() == "tpu":
-        # static select-merge over window sizes (lane-gather is ~1000x
-        # slower on TPU)
+    if formulation == "auto":
+        formulation = "shift" if jax.default_backend() == "tpu" else "gather"
+    if formulation == "shift":
+        # Binary decomposition of the per-row shift: compose conditional
+        # STATIC shifts by powers of two, padding with D[L], so
+        # dw[i] = D[min(i + w, L)] in O(log wmax) fused elementwise
+        # passes — no gather (lane-gather is ~1000x slower on TPU) and no
+        # O(L/10) unrolled select chain (compile explosion on long reads).
+        # Exact: each applied step adds 2^k to the accumulated shift and
+        # the D[L] fill propagates through later steps unchanged.
         d_last_row = jnp.broadcast_to(d_last, (B, L))
         wmax = max(9, L // 10)
         w2d = w[:, None]
-        dw = jnp.zeros_like(d)
-        for wv in range(1, wmax + 1):
-            shifted = jnp.concatenate(
-                [d[:, wv:], d_last_row[:, : min(wv, L)]], axis=1
-            ) if wv < L else d_last_row
-            dw = jnp.where(w2d == wv, shifted, dw)
+        dw = d
+        for k in range(wmax.bit_length()):
+            s = 1 << k
+            shifted = (
+                jnp.concatenate([dw[:, s:], d_last_row[:, :s]], axis=1)
+                if s < L
+                else d_last_row
+            )
+            dw = jnp.where((w2d >> k) & 1 == 1, shifted, dw)
     else:
         # CPU/GPU: one gather of D[i+w] compiles and runs faster than the
-        # unrolled select chain
+        # shift chain
         d_full = jnp.concatenate([d, d_last], axis=1)  # D[j], j in [0, L]
         iw = jnp.minimum(lane + w[:, None], L)
         dw = jnp.take_along_axis(d_full, iw, axis=1)
@@ -184,6 +209,7 @@ def compute_cuts(
     return five, three, first_bad
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def compute_cuts_jit(seq, qual, lengths, params: TrimParams):
-    return compute_cuts(seq, qual, lengths, params)
+@functools.partial(jax.jit, static_argnames=("params", "formulation"))
+def compute_cuts_jit(seq, qual, lengths, params: TrimParams,
+                     formulation: str = "auto"):
+    return compute_cuts(seq, qual, lengths, params, formulation)

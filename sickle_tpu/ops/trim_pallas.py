@@ -77,19 +77,24 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
     d = c_excl - t * lane  # D[j], j in [0, L)
     d_last = total - t * L  # D[L], [TB, 1]
 
-    # D[i + w] via a static loop over window sizes merged by select, with
-    # the lane shift done by the hardware circular rotate (pltpu.roll).
+    # D[i + w] by binary decomposition of the per-row shift: compose
+    # conditional STATIC rotates by powers of two (hardware circular
+    # rotate, pltpu.roll), overwriting wrapped lanes with D[L] so the
+    # fill propagates — dw[i] = D[min(i+w, L)] in O(log wmax) passes.
     # Lane-dim alternatives fail: dynamic ref slices must be 128-aligned,
     # value-level dynamic_slice has no lowering, and unaligned
-    # concatenates explode Mosaic compile time.  Wrapped lanes
-    # (i > L - wv) would carry d[0..wv) — overwrite them with D[L]; lane
-    # i == L - wv legitimately needs D[L], larger i are i_valid-masked.
+    # concatenates explode Mosaic compile time.  Lane i == L - s
+    # legitimately needs D[L]; larger i are i_valid-masked.
     d_last_row = jnp.broadcast_to(d_last, (TB, L))
-    dw = jnp.zeros_like(d)
-    for wv in range(1, wmax + 1):
-        rolled = pltpu.roll(d, L - wv, axis=1)  # rolled[i] = d[(i+wv) % L]
-        cand = jnp.where(lane >= L - wv, d_last_row, rolled)
-        dw = jnp.where(w == wv, cand, dw)
+    dw = d
+    for k in range(max(wmax, 1).bit_length()):
+        s = 1 << k
+        if s < L:
+            rolled = pltpu.roll(dw, L - s, axis=1)  # rolled[i] = dw[(i+s) % L]
+            cand = jnp.where(lane >= L - s, d_last_row, rolled)
+        else:
+            cand = d_last_row
+        dw = jnp.where((w >> k) & 1 == 1, cand, dw)
 
     ii = lane  # window start index i, valid for i <= len - w
     i_valid = ii <= (lens - w)

@@ -89,6 +89,32 @@ def decode_qual(
     return out
 
 
+class _LazyQuals:
+    """Decode-on-touch quality accessor.
+
+    Reproduces the reference's get_quality_num semantics
+    (src/trim.cpp:118-134): a char is range-checked only when the scan
+    actually touches it, so junk past the 3' break never errors — a
+    sickle-1.33 behavior real-world dirty files rely on.
+    """
+
+    __slots__ = ("qual", "qualtype", "name", "offset", "qmin", "qmax")
+
+    def __init__(self, qual: bytes, qualtype: QualityType, name: bytes):
+        self.qual = qual
+        self.qualtype = qualtype
+        self.name = name
+        self.offset, self.qmin, self.qmax = QUALITY_CONSTANTS[qualtype]
+
+    def __getitem__(self, j: int) -> int:
+        ch = self.qual[j]
+        if ch < self.qmin or ch > self.qmax:
+            raise QualityRangeError(
+                quality_range_message(ch, self.qualtype, self.name, self.qual, j)
+            )
+        return ch - self.offset
+
+
 def first_n_index(seq: bytes, compat: Compat) -> Optional[int]:
     """Index of the N used by -n truncation, or None.
 
@@ -116,6 +142,7 @@ def sliding_window_cuts(
     trunc_n: bool = False,
     compat: Compat = Compat.V133,
     name: bytes = b"",
+    strict_quality: bool = False,
 ) -> Tuple[int, int]:
     """Compute (five_prime_cut, three_prime_cut) for one read; (-1,-1) = discard.
 
@@ -123,13 +150,22 @@ def sliding_window_cuts(
     src/trim.cpp:3-116.  All comparisons are integer-exact: the reference's
     ``window_avg >= q`` (double) equals ``window_total >= q * window_size``
     because both sides are integers and window_size > 0.
+
+    Quality chars are range-checked lazily, exactly where the reference's
+    scan touches them (every first touch is in ascending position order:
+    the initial window, then each rolling add) — ``strict_quality=True``
+    checks the whole string up front instead.
     """
     L = len(seq)
-    # upfront length filter (trim.cpp:21-26)
+    # upfront length filter (trim.cpp:21-26) — before any quality decode
     if L < length_threshold:
         return DISCARD
 
-    q = decode_qual(qual, qualtype, name)
+    q = (
+        decode_qual(qual, qualtype, name)
+        if strict_quality
+        else _LazyQuals(qual, qualtype, name)
+    )
     t = qual_threshold
 
     # window = int(0.1 * len) with C double->int truncation (trim.cpp:8);
@@ -143,7 +179,7 @@ def sliding_window_cuts(
     found_five = False
     three_triggered = False
 
-    window_total = sum(q[:w])
+    window_total = sum(q[j] for j in range(w))
     for i in range(0, L - w + 1):
         # 5' trigger: first window whose average rises to >= t (trim.cpp:42-56)
         if not no_fiveprime and not found_five and window_total >= t * w:

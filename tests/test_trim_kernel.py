@@ -74,9 +74,10 @@ CONFIGS = [
 ]
 
 
+@pytest.mark.parametrize("formulation", ["gather", "shift"])
 @pytest.mark.parametrize("qualtype", [QualityType.SANGER, QualityType.ILLUMINA, QualityType.SOLEXA])
 @pytest.mark.parametrize("cfg", CONFIGS)
-def test_kernel_matches_oracle(qualtype, cfg):
+def test_kernel_matches_oracle(qualtype, cfg, formulation):
     q, l, x, n, compat = cfg
     rng = np.random.default_rng(hash((qualtype, cfg)) % 2**32)
     reads = random_reads(rng, 256, qualtype)
@@ -89,7 +90,8 @@ def test_kernel_matches_oracle(qualtype, cfg):
         trunc_n=n,
         compat=compat,
     )
-    five, three, bad = compute_cuts_jit(seq, qual, lens, params)
+    five, three, bad = compute_cuts_jit(seq, qual, lens, params,
+                                        formulation=formulation)
     five, three = np.asarray(five), np.asarray(three)
     for i, (s, qq) in enumerate(reads):
         want = oracle.sliding_window_cuts(
@@ -124,6 +126,43 @@ def test_out_of_range_quality_located():
     with pytest.raises(oracle.QualityRangeError) as e:
         oracle.decode_qual(bad, QualityType.SANGER, b"@r1")
     assert "Quality position: 51" in e.value.message
+
+
+@pytest.mark.parametrize("formulation", ["gather", "shift"])
+@pytest.mark.parametrize("L_read", [1000, 10_000, 50_000])
+def test_long_reads_match_oracle(L_read, formulation):
+    """Long-read (ONT/PacBio-scale) parity: the reference handles arbitrary
+    lengths (src/trim.cpp:8-34); the shift formulation must compile in
+    O(log L) passes and agree with the oracle at L up to 50 kbp."""
+    rng = np.random.default_rng(L_read)
+    _, qmin, qmax = QUALITY_CONSTANTS[QualityType.SANGER]
+    reads = []
+    for kind in range(6):
+        L = L_read - (kind * 7) % 10  # a few off-multiple lengths per batch
+        if kind == 0:  # drops below threshold mid-read
+            q = np.where(np.arange(L) < L // 2, 70, qmin).astype(np.uint8)
+        elif kind == 1:  # all high: kept untrimmed at 3'
+            q = np.full(L, qmax, np.uint8)
+        elif kind == 2:  # all low: discarded (no 5')
+            q = np.full(L, qmin, np.uint8)
+        elif kind == 3:  # low head, high middle, low tail
+            q = np.full(L, 70, np.uint8)
+            q[: L // 5] = qmin
+            q[-L // 5 :] = qmin
+        else:  # noisy around threshold
+            q = rng.integers(33 + 15, 33 + 25, L).astype(np.uint8)
+        seq = rng.choice(list(b"ACGT"), L).astype(np.uint8)
+        reads.append((seq.tobytes(), q.tobytes()))
+    seq, qual, lens = pack(reads)
+    params = TrimParams(qual_threshold=20, length_threshold=20)
+    five, three, _ = compute_cuts_jit(seq, qual, lens, params,
+                                      formulation=formulation)
+    for i, (s, qq) in enumerate(reads):
+        want = oracle.sliding_window_cuts(
+            s, qq, qualtype=QualityType.SANGER, qual_threshold=20,
+            length_threshold=20,
+        )
+        assert (int(five[i]), int(three[i])) == want, f"read {i} (L={len(s)})"
 
 
 def test_window_guarantee_three_stays_len():
