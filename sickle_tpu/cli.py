@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import getopt
+import os
 import sys
 from typing import List, Optional
 
@@ -62,6 +63,59 @@ def _merge_counters(counters):
         counters.discard_p, counters.discard_s1, counters.discard_s2,
     ])
     return PECounters(*vals)
+
+class _Dist:
+    """Multi-host run context (--dist).
+
+    Wires ``jax.distributed`` (SURVEY.md §5.8), after which the CLI shards
+    plain-file inputs by record-aligned byte ranges (parallel.dist), gives
+    each host its own ``<output>.shard<i>`` (concatenating shards in shard
+    order reproduces the single-host bytes; gzip shards concatenate into a
+    valid multi-member stream too), and prints the psum-merged GLOBAL
+    summary on host 0 only.
+    """
+
+    def __init__(self, enabled: bool, coordinator: Optional[str],
+                 num_processes: Optional[int], process_id: Optional[int]):
+        self.pid, self.nproc = 0, 1
+        if not enabled:
+            return
+        import jax
+
+        from .parallel.dist import init_distributed
+
+        init_distributed(coordinator, num_processes, process_id)
+        self.pid = jax.process_index()
+        self.nproc = jax.process_count()
+
+    @property
+    def active(self) -> bool:
+        return self.nproc > 1
+
+    def shard_path(self, path: Optional[str]) -> Optional[str]:
+        if path is None or not self.active:
+            return path
+        return f"{path}.shard{self.pid}"
+
+    def check_splittable(self, *paths) -> Optional[str]:
+        """Error text if any input cannot be byte-split across hosts."""
+        if not self.active:
+            return None
+        for fp in paths:
+            if fp is None:
+                continue
+            try:
+                with open(fp, "rb") as f:
+                    if f.read(2) == b"\x1f\x8b":
+                        return (
+                            "****Error: multi-host runs need plain "
+                            "(byte-splittable) input; gzip inputs must be "
+                            f"pre-sharded per host ('{fp}').\n\n"
+                        )
+            except OSError:
+                pass  # open_input reports missing files with parity text
+        return None
+
 
 DEFAULT_RECORDS_PER_CHUNK = 1 << 16
 
@@ -117,6 +171,10 @@ Options:
 --profile, Write a JAX profiler trace to the given directory.
 --checkpoint, Sidecar file making the run restartable (re-run the same command to resume; plain output only).
 --strict, Error on ANY out-of-range quality char (default: only chars the trimming scan touches error, matching sickle 1.33).
+--dist, Join a multi-host run (jax.distributed); each host trims its record-aligned shard of the input into <output>.shard<i> and host 0 prints the merged global summary.
+--coordinator, host:port of the jax.distributed coordinator (with --dist; omit on TPU pods for auto-detection).
+--num-processes, Total hosts in the --dist run (omit on TPU pods).
+--process-id, This host's index in the --dist run (omit on TPU pods).
 --quiet, Don't print out any trimming information
 --help, display this help and exit
 --version, output version information and exit
@@ -160,6 +218,10 @@ Paired-end interleaved reads
 --profile, Write a JAX profiler trace to the given directory.
 --checkpoint, Sidecar file making the run restartable (re-run the same command to resume; plain output only).
 --strict, Error on ANY out-of-range quality char (default: only chars the trimming scan touches error, matching sickle 1.33).
+--dist, Join a multi-host run (jax.distributed); each host trims its record-aligned shard of the input into <output>.shard<i> and host 0 prints the merged global summary.
+--coordinator, host:port of the jax.distributed coordinator (with --dist; omit on TPU pods for auto-detection).
+--num-processes, Total hosts in the --dist run (omit on TPU pods).
+--process-id, This host's index in the --dist run (omit on TPU pods).
 -g, --gzip-output, Output gzipped files.
 --quiet, do not output trimming info
 --help, display this help and exit
@@ -197,10 +259,11 @@ def _records_per_chunk(batch_mb: Optional[int]) -> int:
 def _build_cuts_fn(params: TrimParams, devices: Optional[int], rpc: int):
     """Pick single-device jit or a sharded mesh step; returns (fn, rpc').
 
-    rpc is rounded to a multiple of the mesh size (and 8)."""
+    rpc is rounded to a multiple of the mesh size (and 8).  Local
+    devices only: multi-host runs shard rows per host (parallel.mesh)."""
     import jax
 
-    n_avail = len(jax.devices())
+    n_avail = len(jax.local_devices())
     n = min(devices or n_avail, n_avail)
     if n <= 1:
         from .engine.pipeline import default_cuts_fn
@@ -256,7 +319,8 @@ def se_main(argv: List[str]) -> int:
         "fastq-file=", "output-file=", "qual-type=", "qual-threshold=",
         "length-threshold=", "no-fiveprime", "discard-n", "gzip-output",
         "quiet", "threads=", "batch=", "compat=", "devices=", "profile=",
-        "checkpoint=", "strict", "help", "version",
+        "checkpoint=", "strict", "dist", "coordinator=", "num-processes=",
+        "process-id=", "help", "version",
     ]
     try:
         opts, extra = getopt.gnu_getopt(argv, "df:t:o:q:a:b:l:zxng", longopts)
@@ -268,6 +332,7 @@ def se_main(argv: List[str]) -> int:
     qualtype = None
     q_thresh, l_thresh = 20, 20
     no_five = trunc_n = gzip_out = quiet = debug = strict = False
+    dist_on, coordinator, n_procs, proc_id = False, None, None, None
     batch_mb = None
     devices = None
     compat = Compat.V133
@@ -297,6 +362,14 @@ def se_main(argv: List[str]) -> int:
             no_five = True
         elif o == "--strict":
             strict = True
+        elif o == "--dist":
+            dist_on = True
+        elif o == "--coordinator":
+            coordinator = a
+        elif o == "--num-processes":
+            n_procs = int(a)
+        elif o == "--process-id":
+            proc_id = int(a)
         elif o in ("-n", "--discard-n"):
             trunc_n = True
         elif o in ("-g", "--gzip-output"):
@@ -343,9 +416,20 @@ def se_main(argv: List[str]) -> int:
         compat=compat,
         strict=strict,
     )
+    dist = _Dist(dist_on, coordinator, n_procs, proc_id)
     rpc = _records_per_chunk(batch_mb)
     cuts_fn, rpc = _build_cuts_fn(params, devices, rpc)
     cfg = EngineConfig(records_per_chunk=rpc, compat=compat)
+    in_off = 0
+    if dist.active:
+        err = dist.check_splittable(infn)
+        if err:
+            sys.stderr.write(err)
+            return 1
+        from .parallel.dist import shard_record_ranges
+
+        in_off, cfg.byte_limit = shard_record_ranges(infn, dist.nproc)[dist.pid]
+        outfn = dist.shard_path(outfn)
 
     counters_in = None
     ck = None
@@ -364,6 +448,8 @@ def se_main(argv: List[str]) -> int:
     _msg(debug, f"Building reader for {infn}")
     try:
         with open_input(infn) as fin:
+            if in_off:
+                fin.seek(in_off)
             if ck is not None:
                 out = _open_resumable(outfn)
                 if st is not None:
@@ -391,7 +477,7 @@ def se_main(argv: List[str]) -> int:
         return e.exit_code
 
     counters = _merge_counters(counters)
-    if not quiet:
+    if not quiet and dist.pid == 0:
         sys.stdout.write(
             f"\nSE input file: {infn}\n\n"
             f"Total FastQ records: {counters.total}\n"
@@ -407,8 +493,8 @@ def pe_main(argv: List[str]) -> int:
         "output-pe1=", "output-pe2=", "output-single=", "output-interleaved=",
         "output-n=", "qual-threshold=", "length-threshold=", "no-fiveprime",
         "truncate-n", "gzip-output", "quiet", "threads=", "batch=",
-        "compat=", "devices=", "profile=", "checkpoint=", "strict", "help",
-        "version",
+        "compat=", "devices=", "profile=", "checkpoint=", "strict", "dist",
+        "coordinator=", "num-processes=", "process-id=", "help", "version",
     ]
     try:
         opts, extra = getopt.gnu_getopt(argv, "df:r:c:t:o:p:m:M:s:q:a:b:l:xng", longopts)
@@ -422,6 +508,7 @@ def pe_main(argv: List[str]) -> int:
     qualtype = None
     q_thresh, l_thresh = 20, 20
     no_five = trunc_n = gzip_out = quiet = debug = strict = False
+    dist_on, coordinator, n_procs, proc_id = False, None, None, None
     batch_mb = None
     devices = None
     compat = Compat.V133
@@ -464,6 +551,14 @@ def pe_main(argv: List[str]) -> int:
             no_five = True
         elif o == "--strict":
             strict = True
+        elif o == "--dist":
+            dist_on = True
+        elif o == "--coordinator":
+            coordinator = a
+        elif o == "--num-processes":
+            n_procs = int(a)
+        elif o == "--process-id":
+            proc_id = int(a)
         elif o in ("-n", "--truncate-n"):
             trunc_n = True
         elif o in ("-g", "--gzip-output"):
@@ -536,9 +631,32 @@ def pe_main(argv: List[str]) -> int:
         compat=compat,
         strict=strict,
     )
+    dist = _Dist(dist_on, coordinator, n_procs, proc_id)
     rpc = _records_per_chunk(batch_mb)
     cuts_fn, rpc = _build_cuts_fn(params, devices, rpc)
     cfg = EngineConfig(records_per_chunk=rpc, compat=compat)
+    in_off = in_off2 = 0
+    if dist.active:
+        err = dist.check_splittable(infnc, infn, infn2)
+        if err:
+            sys.stderr.write(err)
+            return 1
+        if infnc:
+            from .parallel.dist import shard_record_ranges
+
+            in_off, cfg.byte_limit = shard_record_ranges(
+                infnc, dist.nproc, align=2
+            )[dist.pid]
+        else:
+            from .parallel.dist import shard_paired_ranges
+
+            (r1, r2) = shard_paired_ranges(infn, infn2, dist.nproc)[dist.pid]
+            in_off, cfg.byte_limit = r1
+            in_off2, cfg.byte_limit2 = r2
+        outfn = dist.shard_path(outfn)
+        outfn2 = dist.shard_path(outfn2)
+        outfnc = dist.shard_path(outfnc)
+        sfn = dist.shard_path(sfn)
 
     counters_in = None
     ck = None
@@ -580,6 +698,8 @@ def pe_main(argv: List[str]) -> int:
         if infnc:
             _msg(debug, f"Building reader for {infnc}")
             with open_input(infnc) as fin:
+                if in_off:
+                    fin.seek(in_off)
                 o1 = out_stream(outfnc)
                 so = out_stream(sfn) if sfn else None
                 apply_resume()
@@ -596,6 +716,10 @@ def pe_main(argv: List[str]) -> int:
             _msg(debug, f"Building reader for {infn}")
             _msg(debug, f"Building reader for {infn2}")
             with open_input(infn) as f1, open_input(infn2) as f2:
+                if in_off:
+                    f1.seek(in_off)
+                if in_off2:
+                    f2.seek(in_off2)
                 o1 = out_stream(outfn)
                 o2 = out_stream(outfn2)
                 so = out_stream(sfn)
@@ -621,7 +745,7 @@ def pe_main(argv: List[str]) -> int:
                 s.close()
 
     counters = _merge_counters(counters)
-    if not quiet:
+    if not quiet and dist.pid == 0:
         c = counters
         if infn and infn2:
             sys.stdout.write(f"\nPE forward file: {infn}\nPE reverse file: {infn2}\n")
@@ -656,6 +780,15 @@ def pe_main(argv: List[str]) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # SICKLE_TPU_PLATFORM=cpu forces the backend even where a
+    # sitecustomize force-registers an accelerator plugin at interpreter
+    # start (plain JAX_PLATFORMS is applied too late there) — used by the
+    # multi-process CPU tests and useful for host-only smoke runs.
+    plat = os.environ.get("SICKLE_TPU_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] not in ("pe", "se", "--version", "--help"):
         return main_usage(1)

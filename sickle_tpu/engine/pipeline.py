@@ -114,15 +114,23 @@ class EngineConfig:
     # deterministic output makes "records done" a complete restart state
     skip_records: int = 0
     progress_cb: Optional[Callable[[object], None]] = None
+    # multi-host input sharding: process at most this many bytes from the
+    # stream's starting position (record-aligned by the sharder;
+    # parallel.dist.shard_record_ranges).  byte_limit2 bounds pe's second
+    # input file.  None = to EOF.
+    byte_limit: Optional[int] = None
+    byte_limit2: Optional[int] = None
 
 
-def _mmap_input(stream: BinaryIO):
-    """``(uint8 view of the whole file, start offset)`` for a plain
+def _mmap_input(stream: BinaryIO, byte_limit: Optional[int] = None):
+    """``(uint8 view of the readable span, start offset)`` for a plain
     regular-file stream, else ``None``.
 
     Enables the zero-copy producer: records are parsed straight out of
     the mapped pages (one scan, no chunk byte copies).  Gzip streams,
     pipes, and in-memory streams fall back to the chunked reader.
+    ``byte_limit`` bounds the span at ``tell() + byte_limit`` (multi-host
+    shard ranges).
     """
     raw = stream.raw if isinstance(stream, _io.BufferedReader) else stream
     if not isinstance(raw, _io.FileIO) or "r" not in getattr(raw, "mode", ""):
@@ -134,7 +142,33 @@ def _mmap_input(stream: BinaryIO):
         mm = _mmap.mmap(stream.fileno(), st.st_size, access=_mmap.ACCESS_READ)
     except (OSError, ValueError, AttributeError):
         return None
-    return np.frombuffer(mm, dtype=np.uint8), stream.tell()
+    arr = np.frombuffer(mm, dtype=np.uint8)
+    off = stream.tell()
+    if byte_limit is not None:
+        arr = arr[: min(arr.size, off + byte_limit)]
+    return arr, off
+
+
+class _LimitedStream:
+    """Read-only view of at most ``limit`` bytes from ``stream``'s current
+    position (multi-host shard bound for non-mmap inputs)."""
+
+    def __init__(self, stream: BinaryIO, limit: int):
+        self._stream = stream
+        self._left = limit
+
+    def read(self, n: int = -1) -> bytes:
+        if self._left <= 0:
+            return b""
+        if n is None or n < 0 or n > self._left:
+            n = self._left
+        data = self._stream.read(n)
+        self._left -= len(data)
+        return data
+
+
+def _bounded(stream: BinaryIO, byte_limit: Optional[int]):
+    return stream if byte_limit is None else _LimitedStream(stream, byte_limit)
 
 
 def _skip_offset(arr: np.ndarray, offset: int, n_lines: int) -> Optional[int]:
@@ -488,7 +522,8 @@ def run_se(
     state = {"consumed": cfg.skip_records, "l_max": 0, "est": 0}
     outbuf = OutputBuffer()
 
-    mapped = _mmap_input(in_stream) if native.available() else None
+    mapped = (_mmap_input(in_stream, cfg.byte_limit)
+              if native.available() else None)
 
     def producer():
         if mapped is not None:
@@ -518,7 +553,8 @@ def run_se(
                 pipe.pack_q.put(packed)
             return
         for chunk in iter_record_chunks(
-            in_stream, lambda: _effective_chunk(cfg, state["l_max"])[0],
+            _bounded(in_stream, cfg.byte_limit),
+            lambda: _effective_chunk(cfg, state["l_max"])[0],
             skip_records=cfg.skip_records,
             max_chunk_bytes=3 * cfg.bytes_per_batch,
         ):
@@ -681,7 +717,8 @@ def run_pe(
 
     def producer():
         if interleaved:
-            mapped = _mmap_input(in1) if native.available() else None
+            mapped = (_mmap_input(in1, cfg.byte_limit)
+                      if native.available() else None)
             if mapped is not None:  # zero-copy (see run_se)
                 arr, off = mapped
                 off = _skip_offset(arr, off, 4 * cfg.skip_records)
@@ -707,14 +744,17 @@ def run_pe(
                     )
                     put_interleaved(packed)
                 return
-            for chunk in iter_record_chunks(in1, lambda: eff_chunk()[0],
+            for chunk in iter_record_chunks(_bounded(in1, cfg.byte_limit),
+                                            lambda: eff_chunk()[0],
                                             skip_records=cfg.skip_records,
                                             max_chunk_bytes=3 * cfg.bytes_per_batch,
                                             align_records=2):
                 put_interleaved(pack(chunk))
         else:
-            m1 = _mmap_input(in1) if native.available() else None
-            m2 = _mmap_input(in2) if native.available() else None
+            m1 = (_mmap_input(in1, cfg.byte_limit)
+                  if native.available() else None)
+            m2 = (_mmap_input(in2, cfg.byte_limit2)
+                  if native.available() else None)
             if m1 is not None and m2 is not None:
                 _produce_two_file_mmap(m1, m2)
                 return
@@ -722,7 +762,8 @@ def run_pe(
             # mate-1 rows): one device call per chunk, one shared source
             # buffer for output assembly (incl. mixed-source singles)
             for c1, c2 in _pair_chunks_two_file(
-                in1, in2, lambda: max(eff_chunk()[0] // 2, 4),
+                _bounded(in1, cfg.byte_limit), _bounded(in2, cfg.byte_limit2),
+                lambda: max(eff_chunk()[0] // 2, 4),
                 skip_each=cfg.skip_records // 2,
                 max_chunk_bytes=3 * cfg.bytes_per_batch,
             ):

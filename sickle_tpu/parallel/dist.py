@@ -98,6 +98,89 @@ def split_record_ranges(path, n_shards: int) -> List[Tuple[int, int]]:
     return [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_shards)]
 
 
+def _mapped(path) -> np.ndarray:
+    return np.memmap(path, dtype=np.uint8, mode="r")
+
+
+def _records_before(arr: np.ndarray, offset: int) -> int:
+    """Record count in arr[:offset] (offset must be record-aligned)."""
+    from ..io import native
+
+    lib = native.get_lib()
+    view = arr[:offset]
+    if lib is not None:
+        import ctypes
+
+        nl = int(lib.sk_count_newlines(native.ptr(view, ctypes.c_uint8),
+                                       view.size))
+    else:
+        nl = int(np.count_nonzero(view == 0x0A))
+    return nl // 4
+
+
+def _offset_of_record(arr: np.ndarray, k: int) -> int:
+    """Byte offset where 0-based record ``k`` starts (arr.size if past EOF)."""
+    if k == 0:
+        return 0
+    from ..io import native
+
+    lib = native.get_lib()
+    if lib is not None:
+        import ctypes
+
+        pos = int(lib.sk_kth_newline(native.ptr(arr, ctypes.c_uint8),
+                                     arr.size, 4 * k))
+    else:
+        nl = np.flatnonzero(arr == 0x0A)
+        pos = int(nl[4 * k - 1]) if nl.size >= 4 * k else -1
+    return arr.size if pos < 0 else pos + 1
+
+
+def shard_record_ranges(path, n_shards: int, align: int = 1) -> List[Tuple[int, int]]:
+    """Record-aligned (offset, length) byte ranges, one per host, with
+    every boundary additionally on an ``align``-record multiple
+    (interleaved pe passes 2 so no host splits a pair).
+
+    The per-host work is an independent stream over its range — no
+    cross-host traffic on the read path (SURVEY.md §2.2); concatenating
+    the shard outputs in shard order reproduces the single-host bytes.
+    """
+    ranges = split_record_ranges(path, n_shards)
+    if align <= 1:
+        return ranges
+    arr = _mapped(path)
+    bounds = []
+    for off, _length in ranges:
+        rec = _records_before(arr, off)
+        if rec % align:
+            off = _offset_of_record(arr, rec + (align - rec % align))
+        bounds.append(off)
+    bounds.append(arr.size)
+    return [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_shards)]
+
+
+def shard_paired_ranges(
+    path1, path2, n_shards: int
+) -> List[Tuple[Tuple[int, int], Tuple[int, int]]]:
+    """Per-host byte ranges for a two-file pe run, split by PAIR index.
+
+    File 1 is split byte-proportionally (record-aligned); file 2's
+    boundaries are derived from file 1's record counts so both shards of a
+    host hold exactly the same mates — pair decisions never cross hosts.
+    """
+    r1 = split_record_ranges(path1, n_shards)
+    arr1 = _mapped(path1)
+    arr2 = _mapped(path2)
+    recs = [_records_before(arr1, off) for off, _ in r1]
+    bounds2 = [_offset_of_record(arr2, k) for k in recs] + [arr2.size]
+    out = []
+    for i in range(n_shards):
+        out.append(
+            (r1[i], (bounds2[i], bounds2[i + 1] - bounds2[i]))
+        )
+    return out
+
+
 @dataclasses.dataclass
 class GlobalCounts:
     total: jnp.ndarray

@@ -22,8 +22,14 @@ DATA_AXIS = "data"
 
 
 def data_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """A 1-D mesh over the first ``n_devices`` local devices."""
-    devs = list(devices if devices is not None else jax.devices())
+    """A 1-D mesh over the first ``n_devices`` LOCAL devices.
+
+    Local, not global: in a multi-host run every host streams its own
+    input shard and shards batches only over its own chips; the only
+    cross-host communication is the end-of-run counter reduction
+    (parallel.dist), never row data.
+    """
+    devs = list(devices if devices is not None else jax.local_devices())
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (DATA_AXIS,))

@@ -1,6 +1,13 @@
-"""Multi-host distribution helpers + sharded step (virtual CPU mesh)."""
+"""Multi-host distribution helpers + sharded step (virtual CPU mesh),
+and REAL 2-process ``jax.distributed`` end-to-end runs (subprocess-spawned
+CPU cluster): concatenated shard outputs must equal the single-host bytes
+and host 0 must print globally merged counters."""
 
 import io
+import os
+import socket
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -10,9 +17,169 @@ from sickle_tpu.ops import TrimParams
 from sickle_tpu.parallel.dist import (
     host_file_shard,
     realign_to_record,
+    shard_paired_ranges,
+    shard_record_ranges,
     sharded_trim_step,
     split_record_ranges,
 )
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _spawn_cluster(per_proc_args, n=2, timeout=240):
+    """Run `sickle <args> --dist` in n coordinated CPU processes."""
+    port = _free_port()
+    env = os.environ.copy()
+    env["SICKLE_TPU_PLATFORM"] = "cpu"  # sitecustomize-proof override
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    procs = []
+    for pid in range(n):
+        cmd = [
+            sys.executable, "-m", "sickle_tpu", *per_proc_args,
+            "--dist", "--coordinator", f"127.0.0.1:{port}",
+            "--num-processes", str(n), "--process-id", str(pid),
+        ]
+        procs.append(subprocess.Popen(
+            cmd, env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        ))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=timeout)
+        assert p.returncode == 0, (p.returncode, out, err)
+        # drop the Gloo transport's connection log lines
+        lines = [
+            ln for ln in out.decode().splitlines(keepends=True)
+            if not ln.startswith("[Gloo]")
+        ]
+        outs.append("".join(lines))
+    return outs
+
+
+def _single_host(args):
+    env = os.environ.copy()
+    env["SICKLE_TPU_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    r = subprocess.run(
+        [sys.executable, "-m", "sickle_tpu", *args], env=env, cwd=REPO,
+        capture_output=True, timeout=240,
+    )
+    assert r.returncode == 0, (r.returncode, r.stdout, r.stderr)
+    return r.stdout.decode()
+
+
+def test_two_process_se_end_to_end(tmp_path, reference_fixtures):
+    src = str(reference_fixtures / "test.fastq")
+    ref_out = tmp_path / "ref.fastq"
+    summary = _single_host(
+        ["se", "-f", src, "-t", "sanger", "-q", "60", "-o", str(ref_out)]
+    )
+
+    out = tmp_path / "dist.fastq"
+    outs = _spawn_cluster(
+        ["se", "-f", src, "-t", "sanger", "-q", "60", "-o", str(out)]
+    )
+    shards = [
+        (tmp_path / f"dist.fastq.shard{i}").read_bytes() for i in range(2)
+    ]
+    assert all(shards), "both shards produced output"
+    assert b"".join(shards) == ref_out.read_bytes()
+    # host 0 prints the globally merged summary; host 1 stays quiet
+    host0 = [o for o in outs if "Total FastQ records" in o]
+    assert len(host0) == 1
+    assert host0[0] == summary
+    assert "Total FastQ records: 2500" in host0[0]
+
+
+def test_two_process_pe_two_file_end_to_end(tmp_path, reference_fixtures):
+    f1 = str(reference_fixtures / "test.f.fastq")
+    f2 = str(reference_fixtures / "test.r.fastq")
+    base = ["pe", "-t", "sanger", "-q", "60", "-f", f1, "-r", f2]
+    ref = [tmp_path / n for n in ("r1.fastq", "r2.fastq", "rs.fastq")]
+    summary = _single_host(
+        base + ["-o", str(ref[0]), "-p", str(ref[1]), "-s", str(ref[2])]
+    )
+
+    outp = [tmp_path / n for n in ("d1.fastq", "d2.fastq", "ds.fastq")]
+    outs = _spawn_cluster(
+        base + ["-o", str(outp[0]), "-p", str(outp[1]), "-s", str(outp[2])]
+    )
+    for want, got in zip(ref, outp):
+        shards = [
+            (tmp_path / f"{got.name}.shard{i}").read_bytes() for i in range(2)
+        ]
+        assert b"".join(shards) == want.read_bytes()
+    host0 = [o for o in outs if "Total input FastQ records" in o]
+    assert len(host0) == 1 and host0[0] == summary
+    assert "Total input FastQ records: 2500 (1250 pairs)" in host0[0]
+
+
+def test_dist_rejects_gzip_input(tmp_path, reference_fixtures):
+    import gzip as _gz
+
+    src = tmp_path / "in.fastq.gz"
+    src.write_bytes(_gz.compress(
+        (reference_fixtures / "test.fastq").read_bytes()
+    ))
+    port = _free_port()
+    env = os.environ.copy()
+    env["SICKLE_TPU_PLATFORM"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "sickle_tpu", "se", "-f", str(src),
+             "-t", "sanger", "-o", str(tmp_path / "o.fastq"),
+             "--dist", "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid)],
+            env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 1
+        assert b"pre-sharded per host" in err
+
+
+def test_shard_record_ranges_pair_aligned(tmp_path, reference_fixtures):
+    src = reference_fixtures / "test.fastq"  # interleaved pairs
+    data = src.read_bytes()
+    for n in (2, 3, 5):
+        ranges = shard_record_ranges(src, n, align=2)
+        assert sum(l for _, l in ranges) == len(data)
+        for off, length in ranges:
+            shard = data[off : off + length]
+            if shard:
+                assert shard.startswith(b"@")
+                assert (shard.count(b"\n") // 4) % 2 == 0  # whole pairs
+
+
+def test_shard_paired_ranges_same_mate_counts(reference_fixtures):
+    f1 = reference_fixtures / "test.f.fastq"
+    f2 = reference_fixtures / "test.r.fastq"
+    d1, d2 = f1.read_bytes(), f2.read_bytes()
+    for n in (2, 4):
+        pairs = shard_paired_ranges(f1, f2, n)
+        assert sum(l for (_, l), _ in pairs) == len(d1)
+        assert sum(l for _, (_, l) in pairs) == len(d2)
+        for (o1, l1), (o2, l2) in pairs:
+            s1 = d1[o1 : o1 + l1]
+            s2 = d2[o2 : o2 + l2]
+            assert s1.count(b"\n") // 4 == s2.count(b"\n") // 4
+            if s1:
+                assert s1.startswith(b"@") and s2.startswith(b"@")
 
 
 def test_host_file_shard_round_robin():
