@@ -355,6 +355,172 @@ void sk_assemble(const uint8_t* data, int64_t k, const int64_t* name_start,
   parallel_for(k, n_threads, assemble_body, &ctx);
 }
 
-// Decode gzip stream chunk? (gzip handled in Python via zlib for now.)
+}  // extern "C"
+
+#include <zlib.h>
+
+namespace {
+
+// BGZF (blocked gzip, SAM spec §4.1): each <=64 KiB block is a complete
+// gzip member whose FEXTRA 'BC' subfield carries the compressed block
+// size, so block boundaries are found by a header walk with NO
+// decompression — which is what makes both directions parallel.
+constexpr int64_t kBgzfInBlock = 48 * 1024;  // uncompressed bytes per block
+constexpr int64_t kBgzfStride = kBgzfInBlock + 4096;  // worst-case deflate
+constexpr uint8_t kBgzfEof[28] = {
+    0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0, 0, 0xff, 0x06, 0x00,
+    0x42, 0x43, 0x02, 0x00, 0x1b, 0x00, 0x03, 0x00,
+    0, 0, 0, 0, 0, 0, 0, 0};
+
+int64_t bgzf_block_size(const uint8_t* p, int64_t avail) {
+  // returns the compressed block size at p, or -1 if not a BGZF header
+  if (avail < 18 || p[0] != 0x1f || p[1] != 0x8b || p[2] != 8 ||
+      !(p[3] & 4)) {
+    return -1;
+  }
+  int64_t xlen = p[10] | (p[11] << 8);
+  if (12 + xlen > avail) return -1;
+  int64_t e = 12;
+  while (e + 4 <= 12 + xlen) {
+    int64_t slen = p[e + 2] | (p[e + 3] << 8);
+    if (p[e] == 'B' && p[e + 1] == 'C' && slen == 2) {
+      int64_t bsize = (p[e + 4] | (p[e + 5] << 8)) + 1;
+      return (bsize >= 18 && bsize <= avail) ? bsize : -1;
+    }
+    e += 4 + slen;
+  }
+  return -1;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Header-walk a BGZF byte buffer.  Writes per-block (compressed offset,
+// compressed size, uncompressed size) and returns the block count; -1 if
+// the buffer is not BGZF-structured end to end (caller falls back to the
+// serial zlib stream), -2 if max_blocks is too small.
+int64_t sk_bgzf_scan(const uint8_t* data, int64_t n, int64_t* offs,
+                     int64_t* csizes, int64_t* usizes, int64_t max_blocks) {
+  int64_t off = 0, k = 0;
+  while (off < n) {
+    int64_t bsize = bgzf_block_size(data + off, n - off);
+    if (bsize < 0) return -1;
+    if (k >= max_blocks) return -2;
+    offs[k] = off;
+    csizes[k] = bsize;
+    const uint8_t* tail = data + off + bsize - 4;
+    usizes[k] = tail[0] | (tail[1] << 8) | (tail[2] << 16) |
+                (static_cast<int64_t>(tail[3]) << 24);
+    k++;
+    off += bsize;
+  }
+  return k;
+}
+
+// Parallel-inflate BGZF blocks [first, first+count) into `out`, laid out
+// back to back (caller passes cumulative uncompressed offsets in uoffs).
+// Returns 0, or 1 + the index of the first corrupt block.
+int64_t sk_bgzf_inflate(const uint8_t* data, const int64_t* offs,
+                        const int64_t* csizes, const int64_t* uoffs,
+                        const int64_t* usizes, int64_t count, uint8_t* out,
+                        int n_threads) {
+  std::atomic<int64_t> bad(0);
+  int nt = std::max(1, n_threads);
+  std::atomic<int64_t> cursor(0);
+  run_tasks(nt, [&](int) {
+    z_stream zs;
+    for (;;) {
+      int64_t i = cursor.fetch_add(1);
+      if (i >= count || bad.load(std::memory_order_relaxed)) return;
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, 15 + 16) != Z_OK) {
+        bad.store(i + 1);
+        return;
+      }
+      zs.next_in = const_cast<uint8_t*>(data + offs[i]);
+      zs.avail_in = static_cast<uInt>(csizes[i]);
+      zs.next_out = out + uoffs[i];
+      zs.avail_out = static_cast<uInt>(usizes[i]);
+      int rc = inflate(&zs, Z_FINISH);
+      if (rc != Z_STREAM_END || zs.total_out != (uLong)usizes[i]) {
+        bad.store(i + 1);
+      }
+      inflateEnd(&zs);
+    }
+  });
+  return bad.load();
+}
+
+// Parallel BGZF compression of `n` bytes at `level`; writes a compacted
+// block stream (plus the BGZF EOF marker when `final_eof`) into `out`
+// (sized >= ceil(n/48K)*stride + 28) and returns the compressed size.
+int64_t sk_bgzf_compress(const uint8_t* data, int64_t n, int level,
+                         int final_eof, uint8_t* out, int n_threads) {
+  int64_t n_blocks = n ? (n + kBgzfInBlock - 1) / kBgzfInBlock : 0;
+  std::vector<int64_t> bsize(n_blocks, 0);
+  std::atomic<int64_t> cursor(0);
+  std::atomic<int> failed(0);
+  int nt = std::max(1, n_threads);
+  run_tasks(nt, [&](int) {
+    z_stream zs;
+    for (;;) {
+      int64_t i = cursor.fetch_add(1);
+      if (i >= n_blocks || failed.load(std::memory_order_relaxed)) return;
+      const uint8_t* in = data + i * kBgzfInBlock;
+      uInt in_len = static_cast<uInt>(
+          std::min<int64_t>(kBgzfInBlock, n - i * kBgzfInBlock));
+      uint8_t* o = out + i * kBgzfStride;
+      // gzip header with BC subfield (BSIZE patched after deflate)
+      memcpy(o,
+             "\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00\x42\x43"
+             "\x02\x00\x00\x00",
+             18);
+      memset(&zs, 0, sizeof(zs));
+      if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                       Z_DEFAULT_STRATEGY) != Z_OK) {
+        failed.store(1);
+        return;
+      }
+      zs.next_in = const_cast<uint8_t*>(in);
+      zs.avail_in = in_len;
+      zs.next_out = o + 18;
+      zs.avail_out = static_cast<uInt>(kBgzfStride - 26);
+      int rc = deflate(&zs, Z_FINISH);
+      int64_t clen = zs.total_out;
+      deflateEnd(&zs);
+      if (rc != Z_STREAM_END) {
+        failed.store(1);
+        return;
+      }
+      int64_t total = 18 + clen + 8;
+      o[16] = static_cast<uint8_t>((total - 1) & 0xff);
+      o[17] = static_cast<uint8_t>(((total - 1) >> 8) & 0xff);
+      uLong crc = crc32(0, in, in_len);
+      uint8_t* tail = o + 18 + clen;
+      tail[0] = crc & 0xff;
+      tail[1] = (crc >> 8) & 0xff;
+      tail[2] = (crc >> 16) & 0xff;
+      tail[3] = (crc >> 24) & 0xff;
+      tail[4] = in_len & 0xff;
+      tail[5] = (in_len >> 8) & 0xff;
+      tail[6] = (in_len >> 16) & 0xff;
+      tail[7] = (in_len >> 24) & 0xff;
+      bsize[i] = total;
+    }
+  });
+  if (failed.load()) return -1;
+  // compact the strided blocks into one contiguous stream
+  int64_t w = 0;
+  for (int64_t i = 0; i < n_blocks; i++) {
+    if (w != i * kBgzfStride) memmove(out + w, out + i * kBgzfStride, bsize[i]);
+    w += bsize[i];
+  }
+  if (final_eof) {
+    memcpy(out + w, kBgzfEof, sizeof(kBgzfEof));
+    w += sizeof(kBgzfEof);
+  }
+  return w;
+}
 
 }  // extern "C"

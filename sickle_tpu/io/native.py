@@ -56,7 +56,7 @@ def _build() -> bool:
         return True
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", str(_SRC), "-o", str(_SO),
+        "-pthread", str(_SRC), "-o", str(_SO), "-lz",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -99,6 +99,14 @@ def get_lib():
             pu8, i64, p64, p32, p64, p64, p32, p64, p32, p32, pu8,
             ctypes.c_int, u8, p64, pu8, ctypes.c_int,
         ]
+        lib.sk_bgzf_scan.restype = i64
+        lib.sk_bgzf_scan.argtypes = [pu8, i64, p64, p64, p64, i64]
+        lib.sk_bgzf_inflate.restype = i64
+        lib.sk_bgzf_inflate.argtypes = [pu8, p64, p64, p64, p64, i64, pu8,
+                                        ctypes.c_int]
+        lib.sk_bgzf_compress.restype = i64
+        lib.sk_bgzf_compress.argtypes = [pu8, i64, ctypes.c_int,
+                                         ctypes.c_int, pu8, ctypes.c_int]
         _lib = lib
         return _lib
 

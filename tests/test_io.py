@@ -143,3 +143,62 @@ def test_empty_input():
     p = pack_fastq(b"")
     assert p.n_records == 0
     assert p.seq.shape[0] >= 1  # padded minimum batch
+
+
+def test_bgzf_writer_reader_roundtrip(tmp_path, reference_fixtures):
+    """-g output is BGZF: any gzip reader decodes it byte-exactly, our
+    parallel block reader round-trips it, and block boundaries never
+    split reads incorrectly (block size 48 KiB is not record-aligned)."""
+    from sickle_tpu.io import native
+    from sickle_tpu.io.compression import BgzfReader, BgzfWriter
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    data = (reference_fixtures / "test.fastq").read_bytes() * 5
+    out = tmp_path / "out.fastq.gz"
+    w = BgzfWriter(out)
+    for i in range(0, len(data), 100_001):  # odd write sizes
+        w.write(data[i : i + 100_001])
+    w.close()
+    assert gzip.decompress(out.read_bytes()) == data
+    r = BgzfReader.try_open(out)
+    assert r is not None
+    chunks = []
+    while True:
+        c = r.read(777_777)
+        if not c:
+            break
+        chunks.append(c)
+    assert b"".join(chunks) == data
+    # open_input picks the parallel reader for BGZF files
+    with open_input(out) as f:
+        assert isinstance(f, BgzfReader)
+        assert f.read() == data
+
+
+def test_bgzf_reader_rejects_plain_gzip(tmp_path, reference_fixtures):
+    from sickle_tpu.io import native
+    from sickle_tpu.io.compression import BgzfReader
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    data = (reference_fixtures / "test.fastq").read_bytes()
+    gz = tmp_path / "plain.fastq.gz"
+    gz.write_bytes(gzip.compress(data))
+    assert BgzfReader.try_open(gz) is None  # falls back to serial stream
+    with open_input(gz) as f:
+        assert f.read() == data
+
+
+def test_bgzf_empty_and_tiny(tmp_path):
+    from sickle_tpu.io import native
+    from sickle_tpu.io.compression import BgzfReader, BgzfWriter
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    out = tmp_path / "empty.gz"
+    w = BgzfWriter(out)
+    w.close()
+    assert gzip.decompress(out.read_bytes()) == b""
+    r = BgzfReader.try_open(out)
+    assert r is not None and r.read() == b""
