@@ -44,6 +44,10 @@ def log(text):
 
 def main():
     copies = int(os.environ.get("SICKLE_BENCH_COPIES", "120"))
+    # secondary rows ship fewer bytes: the tunneled link budgets
+    # cumulative bytes, and the se headline (measured first, right after
+    # warmup) gets the freshest window
+    copies2 = int(os.environ.get("SICKLE_BENCH_COPIES2", str(max(copies // 3, 1))))
     rpc = int(os.environ.get("SICKLE_BENCH_RPC", str(1 << 16)))
 
     log("initializing jax backend...")
@@ -66,7 +70,8 @@ def main():
 
     fixture = open(FIXTURE, "rb").read()
     n_reads = copies * 2500
-    n_pairs = copies * 1250
+    n_pairs = copies2 * 1250
+    n_reads_gz = copies2 * 2500
 
     extra = {}
     with tempfile.TemporaryDirectory() as td:
@@ -79,27 +84,33 @@ def main():
         for path, name in ((src_f, FIXTURE_F), (src_r, FIXTURE_R)):
             part = open(name, "rb").read()
             with open(path, "wb") as f:
-                for _ in range(copies):
+                for _ in range(copies2):
                     f.write(part)
         src_gz = os.path.join(td, "bench.fastq.gz")
         w = BgzfWriter(src_gz)
-        w.write(open(src, "rb").read())
+        w.write(fixture * copies2)
         w.close()
         out_path = os.path.join(td, "out.fastq")
 
-        # warmup: compile the device step at the run's [slice_rows, L]
-        # shape using only the first slice's worth of records — every
-        # measured pass below reuses this one executable.
+        # warmup: compile the steady-state executable at the run's
+        # [slice_rows, L] shape.  On TPU this is a zero-wire AOT compile
+        # (lower().compile(), no device RPCs) so the measured pass gets
+        # the link's whole cumulative-byte budget; other backends warm up
+        # with a one-slice mini run.
         from sickle_tpu.engine.chunker import iter_record_chunks
 
         with open(src, "rb") as fin:
-            warm_chunk = next(iter_record_chunks(fin, cfg.slice_rows))
-        with open(os.devnull, "wb") as devnull:
-            t0 = time.perf_counter()
-            run_se(io.BytesIO(warm_chunk), devnull, params, cfg=cfg,
-                   cuts_fn=cuts_fn)
-            warm_s = time.perf_counter() - t0
-        log(f"warmup (1 slice) done in {warm_s:.1f}s")
+            warm_chunk = next(iter_record_chunks(fin, 1 << 14))
+        t0 = time.perf_counter()
+        if hasattr(cuts_fn, "warmup_aot"):
+            cuts_fn.warmup_aot(152)
+        else:
+            with open(os.devnull, "wb") as devnull:
+                run_se(io.BytesIO(warm_chunk), devnull, params, cfg=cfg,
+                       cuts_fn=cuts_fn)
+        warm_s = time.perf_counter() - t0
+        log(f"warmup done in {warm_s:.1f}s")
+        _settle_link()
 
         # --- headline: se plain-file -> plain-file ---
         with open(src, "rb") as fin, open(out_path, "wb") as fout:
@@ -135,9 +146,9 @@ def main():
             t0 = time.perf_counter()
             gc = run_se(fin, fout, params, cfg=cfg, cuts_fn=cuts_fn)
             gz_s = time.perf_counter() - t0
-        assert gc.total == n_reads
-        gz_rate = n_reads / gz_s
-        log(f"gzip-in: {n_reads} reads in {gz_s:.3f}s -> "
+        assert gc.total == n_reads_gz
+        gz_rate = n_reads_gz / gz_s
+        log(f"gzip-in: {n_reads_gz} reads in {gz_s:.3f}s -> "
             f"{gz_rate:,.0f} reads/s")
         extra["gzip_in_reads_per_s"] = {
             "value": round(gz_rate), "unit": "reads/s",
@@ -170,13 +181,47 @@ def main():
     }))
 
 
+def _settle_link():
+    """Wait (bounded) for the shared tunneled-TPU link to drain before the
+    one-pass measurement.
+
+    The link charges a cumulative-byte budget shared across processes and
+    recovers on idle (PERF_NOTES.md); a KB-scale probe reveals its state
+    without refilling it.  Healthy round-trips are sub-ms; a throttled
+    link shows 25 ms+ fines; a penalty box shows seconds.  Bounded by
+    SICKLE_BENCH_SETTLE seconds (0 disables)."""
+    import jax
+    import jax.numpy as jnp
+
+    max_wait = float(os.environ.get("SICKLE_BENCH_SETTLE", "600"))
+    if max_wait <= 0 or jax.default_backend() != "tpu":
+        return
+    probe = jax.jit(lambda x: (x + 1).sum())
+    x = jnp.zeros((128,), jnp.int32)
+    deadline = time.time() + max_wait
+    while True:
+        t0 = time.perf_counter()
+        jax.block_until_ready(probe(x))
+        dt = time.perf_counter() - t0
+        if dt < 0.05:
+            log(f"link probe {dt * 1e3:.1f} ms — proceeding")
+            return
+        if time.time() > deadline:
+            log(f"link probe still {dt * 1e3:.0f} ms at settle deadline — "
+                "proceeding anyway")
+            return
+        log(f"link probe {dt * 1e3:.0f} ms — letting the link drain...")
+        time.sleep(20)
+
+
 def _device_scan_rate(src, params, cfg, warm_chunk, iters=30):
     import jax
 
     from sickle_tpu.io.fastq import pack_fastq
 
-    packed = pack_fastq(warm_chunk, batch_multiple=cfg.slice_rows,
-                        need_seq=False)
+    # small resident batch (2.5 MB): the measurement amortizes per-call
+    # RPC latency over iters, not over batch bytes
+    packed = pack_fastq(warm_chunk, batch_multiple=1 << 14, need_seq=False)
     qual = jax.device_put(packed.qual)
     from sickle_tpu.ops import compute_cuts_jit
 

@@ -103,7 +103,7 @@ class EngineConfig:
     # exploding host/device memory (SURVEY.md §5.7)
     bytes_per_batch: int = 64 << 20
     slice_rows: int = dataclasses.field(
-        default_factory=lambda: int(os.environ.get("SICKLE_TPU_SLICE_ROWS", 1 << 15))
+        default_factory=lambda: int(os.environ.get("SICKLE_TPU_SLICE_ROWS", 1 << 16))
     )
     inflight: int = dataclasses.field(
         default_factory=lambda: int(os.environ.get("SICKLE_TPU_INFLIGHT", 2))
@@ -293,6 +293,22 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
     needs_seq = params.trunc_n
     SL = slice_rows
 
+    def warmup_aot(L: int) -> None:
+        """Compile the steady-state executable WITHOUT touching the device.
+
+        ``jit.lower(...).compile()`` runs the (local) AOT compiler only —
+        zero device RPCs — so a fresh process can pre-compile at the run's
+        [slice_rows, L] shape without spending the tunneled link's
+        cumulative-byte budget (PERF_NOTES.md) before the real pass.
+        """
+        import jax.numpy as _jnp
+
+        shape = jax.ShapeDtypeStruct((SL, L), _jnp.uint8)
+        if needs_seq:
+            step_sq.lower(jax.ShapeDtypeStruct((2, SL, L), _jnp.uint8)).compile()
+        else:
+            step_q.lower(shape).compile()
+
     def fn(seq, qual, lengths, qual_clean=False):
         lengths = np.asarray(lengths)
         B = qual.shape[0]
@@ -318,6 +334,7 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
         axis = 1 if outs[0].ndim == 2 else 0
         return _decode_codes(np.concatenate(outs, axis=axis))
 
+    fn.warmup_aot = warmup_aot
     return fn
 
 

@@ -118,7 +118,8 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
     three = jnp.where(three_trig, jnp.minimum(three_hit, lens), lens)
 
     if params.trunc_n:
-        sq = seq_ref[:]
+        # widen before comparing: Mosaic has no u8 vector compare on v5e
+        sq = seq_ref[:].astype(jnp.int32)
         up = _first_col(in_read & (sq == ord("N")), lane)
         low = _first_col(in_read & (sq == ord("n")), lane)
         if params.compat == Compat.V133:

