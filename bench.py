@@ -102,14 +102,19 @@ def main():
         with open(src, "rb") as fin:
             warm_chunk = next(iter_record_chunks(fin, 1 << 14))
         t0 = time.perf_counter()
+        aot_ok = False
         if hasattr(cuts_fn, "warmup_aot"):
-            cuts_fn.warmup_aot(152)
-        else:
+            try:
+                cuts_fn.warmup_aot(152)
+                aot_ok = True
+            except Exception as e:
+                log(f"AOT warmup unavailable ({e}); falling back to mini run")
+        if not aot_ok:
             with open(os.devnull, "wb") as devnull:
                 run_se(io.BytesIO(warm_chunk), devnull, params, cfg=cfg,
                        cuts_fn=cuts_fn)
         warm_s = time.perf_counter() - t0
-        log(f"warmup done in {warm_s:.1f}s")
+        log(f"warmup done in {warm_s:.1f}s (aot={aot_ok})")
         _settle_link()
 
         # --- headline: se plain-file -> plain-file ---
