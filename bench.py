@@ -198,20 +198,25 @@ def _settle_link():
     import jax
     import jax.numpy as jnp
 
-    max_wait = float(os.environ.get("SICKLE_BENCH_SETTLE", "600"))
+    max_wait = float(os.environ.get("SICKLE_BENCH_SETTLE", "900"))
     if max_wait <= 0 or jax.default_backend() != "tpu":
         return
     probe = jax.jit(lambda x: (x + 1).sum())
     x = jnp.zeros((128,), jnp.int32)
-    deadline = time.time() + max_wait
+    start = time.time()
     while True:
         t0 = time.perf_counter()
         jax.block_until_ready(probe(x))
         dt = time.perf_counter() - t0
-        if dt < 0.05:
-            log(f"link probe {dt * 1e3:.1f} ms — proceeding")
+        waited = time.time() - start
+        if dt < 0.005:  # fast window
+            log(f"link probe {dt * 1e3:.1f} ms (fast window) — proceeding")
             return
-        if time.time() > deadline:
+        if dt < 0.05 and waited > max_wait / 2:
+            log(f"link probe {dt * 1e3:.0f} ms (throttle regime) — "
+                "half the settle budget spent, proceeding")
+            return
+        if waited > max_wait:
             log(f"link probe still {dt * 1e3:.0f} ms at settle deadline — "
                 "proceeding anyway")
             return

@@ -149,13 +149,24 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _clamp_bm(batch_multiple: int, n: int, L: int, batch_bytes: Optional[int]) -> int:
-    """Halve the padding multiple until the padded batch fits the byte
-    budget (long reads: never pad 24 rows of 40 kbp up to a 32768-row
-    slice).  Real rows always fit — the floor is the records themselves."""
-    if not batch_bytes:
-        return batch_multiple
-    target = max(batch_bytes, max(n, 1) * L)
+    """Padding multiple actually used for a batch of ``n`` records.
+
+    Two clamps on the configured (slice-sized) multiple:
+    * never pad a small batch past the next power of two above ``n`` — a
+      2500-read file ships a [4096, L] batch (0.6 MB), not a full 64k-row
+      slice (10 MB of mostly padding on the metered link).  Full chunks
+      (n == multiple) are untouched, so multi-chunk runs keep their one
+      shared executable;
+    * halve until the padded batch fits the byte budget (long reads:
+      never pad 24 rows of 40 kbp up to a 32768-row slice).
+    """
     bm = batch_multiple
+    pow2 = 1 << max(max(n, 8) - 1, 1).bit_length()
+    if pow2 < bm:
+        bm = pow2
+    if not batch_bytes:
+        return bm
+    target = max(batch_bytes, max(n, 1) * L)
     while bm > 8 and _round_up(max(n, 1), bm) * L > target:
         bm //= 2
     return bm

@@ -58,13 +58,21 @@ def sharded_cuts_fn(params: TrimParams, mesh: Mesh, kernel=compute_cuts):
     jitted = jax.jit(shard_mapped)
 
     def fn(seq, qual, lengths):
-        if seq.shape[0] % n:
-            raise ValueError(
-                f"batch rows {seq.shape[0]} not divisible by mesh size {n}"
-            )
+        B = seq.shape[0]
+        if B % n:
+            # pad rows up to a mesh multiple (padding rows have length 0
+            # and are discarded by the kernel); callers slice results
+            # back to their record count
+            pad = n - B % n
+            seq = np.pad(seq, ((0, pad), (0, 0)))
+            qual = np.pad(qual, ((0, pad), (0, 0)))
+            lengths = np.pad(lengths, (0, pad))
         seq = jax.device_put(seq, row2)
         qual = jax.device_put(qual, row2)
         lengths = jax.device_put(lengths, row)
-        return jitted(seq, qual, lengths)
+        five, three, bad = jitted(seq, qual, lengths)
+        if B % n:
+            return five[:B], three[:B], bad[:B]
+        return five, three, bad
 
     return fn

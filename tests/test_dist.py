@@ -56,10 +56,11 @@ def _spawn_cluster(per_proc_args, n=2, timeout=240):
     for p in procs:
         out, err = p.communicate(timeout=timeout)
         assert p.returncode == 0, (p.returncode, out, err)
-        # drop the Gloo transport's connection log lines
+        # drop the Gloo transport's connection log lines (they write to
+        # fd 1 unbuffered and can interleave mid-line, losing the prefix)
         lines = [
             ln for ln in out.decode().splitlines(keepends=True)
-            if not ln.startswith("[Gloo]")
+            if not ln.startswith("[Gloo]") and "peer ranks" not in ln
         ]
         outs.append("".join(lines))
     return outs

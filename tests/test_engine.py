@@ -72,6 +72,22 @@ def test_se_sharded_8_devices(fixture_bytes):
     assert got == want
 
 
+def test_se_sharded_3_devices_pads(fixture_bytes):
+    """A mesh size that does not divide the padded batch (3 devices,
+    power-of-two batches) must still work: the sharded fn pads rows to a
+    mesh multiple and slices results back."""
+    import jax
+
+    if len(jax.devices()) < 3:
+        pytest.skip("needs 3 (virtual) devices")
+    from sickle_tpu.parallel import data_mesh, sharded_cuts_fn
+
+    fn = sharded_cuts_fn(params60(), data_mesh(3))
+    want, _ = se_run(fixture_bytes, 1024)
+    got, _ = se_run(fixture_bytes, 1024, cuts_fn=fn)
+    assert got == want
+
+
 def test_pe_two_file_multichunk(reference_fixtures):
     d1 = (reference_fixtures / "test.f.fastq").read_bytes()
     d2 = (reference_fixtures / "test.r.fastq").read_bytes()
