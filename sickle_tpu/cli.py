@@ -169,6 +169,7 @@ Options:
 --compat, Behavior where the fork and sickle 1.33 disagree: '1.33' (default, '+' comment rewrite) or 'fork' (comment verbatim).
 --devices, Number of accelerator chips to shard each batch over. Default: all.
 --profile, Write a JAX profiler trace to the given directory.
+--metrics, Print per-chunk pipeline stage timings (pack/dispatch/fetch/write) to stderr at exit.
 --checkpoint, Sidecar file making the run restartable (re-run the same command to resume; plain output only).
 --strict, Error on ANY out-of-range quality char (default: only chars the trimming scan touches error, matching sickle 1.33).
 --dist, Join a multi-host run (jax.distributed); each host trims its record-aligned shard of the input into <output>.shard<i> and host 0 prints the merged global summary.
@@ -216,6 +217,7 @@ Paired-end interleaved reads
 --compat, Behavior where the fork and sickle 1.33 disagree: '1.33' (default) or 'fork'.
 --devices, Number of accelerator chips to shard each batch over. Default: all.
 --profile, Write a JAX profiler trace to the given directory.
+--metrics, Print per-chunk pipeline stage timings (pack/dispatch/fetch/write) to stderr at exit.
 --checkpoint, Sidecar file making the run restartable (re-run the same command to resume; plain output only).
 --strict, Error on ANY out-of-range quality char (default: only chars the trimming scan touches error, matching sickle 1.33).
 --dist, Join a multi-host run (jax.distributed); each host trims its record-aligned shard of the input into <output>.shard<i> and host 0 prints the merged global summary.
@@ -319,8 +321,8 @@ def se_main(argv: List[str]) -> int:
         "fastq-file=", "output-file=", "qual-type=", "qual-threshold=",
         "length-threshold=", "no-fiveprime", "discard-n", "gzip-output",
         "quiet", "threads=", "batch=", "compat=", "devices=", "profile=",
-        "checkpoint=", "strict", "dist", "coordinator=", "num-processes=",
-        "process-id=", "help", "version",
+        "metrics", "checkpoint=", "strict", "dist", "coordinator=",
+        "num-processes=", "process-id=", "help", "version",
     ]
     try:
         opts, extra = getopt.gnu_getopt(argv, "df:t:o:q:a:b:l:zxng", longopts)
@@ -337,6 +339,7 @@ def se_main(argv: List[str]) -> int:
     devices = None
     compat = Compat.V133
     profile = None
+    metrics_on = False
     ckfn = None
 
     for o, a in opts:
@@ -388,6 +391,8 @@ def se_main(argv: List[str]) -> int:
             devices = int(a)
         elif o == "--profile":
             profile = a
+        elif o == "--metrics":
+            metrics_on = True
         elif o == "--checkpoint":
             ckfn = a
         elif o == "--help":
@@ -420,6 +425,10 @@ def se_main(argv: List[str]) -> int:
     rpc = _records_per_chunk(batch_mb)
     cuts_fn, rpc = _build_cuts_fn(params, devices, rpc)
     cfg = EngineConfig(records_per_chunk=rpc, compat=compat)
+    if metrics_on:
+        from .utils.metrics import Metrics
+
+        cfg.metrics = Metrics()
     in_off = 0
     if dist.active:
         err = dist.check_splittable(infn)
@@ -476,6 +485,8 @@ def se_main(argv: List[str]) -> int:
         sys.stderr.write(e.message + "\n")
         return e.exit_code
 
+    if cfg.metrics is not None:
+        cfg.metrics.report()
     counters = _merge_counters(counters)
     if not quiet and dist.pid == 0:
         sys.stdout.write(
@@ -493,8 +504,9 @@ def pe_main(argv: List[str]) -> int:
         "output-pe1=", "output-pe2=", "output-single=", "output-interleaved=",
         "output-n=", "qual-threshold=", "length-threshold=", "no-fiveprime",
         "truncate-n", "gzip-output", "quiet", "threads=", "batch=",
-        "compat=", "devices=", "profile=", "checkpoint=", "strict", "dist",
-        "coordinator=", "num-processes=", "process-id=", "help", "version",
+        "compat=", "devices=", "profile=", "metrics", "checkpoint=",
+        "strict", "dist", "coordinator=", "num-processes=", "process-id=",
+        "help", "version",
     ]
     try:
         opts, extra = getopt.gnu_getopt(argv, "df:r:c:t:o:p:m:M:s:q:a:b:l:xng", longopts)
@@ -513,6 +525,7 @@ def pe_main(argv: List[str]) -> int:
     devices = None
     compat = Compat.V133
     profile = None
+    metrics_on = False
     ckfn = None
 
     for o, a in opts:
@@ -577,6 +590,8 @@ def pe_main(argv: List[str]) -> int:
             devices = int(a)
         elif o == "--profile":
             profile = a
+        elif o == "--metrics":
+            metrics_on = True
         elif o == "--checkpoint":
             ckfn = a
         elif o == "--help":
@@ -635,6 +650,10 @@ def pe_main(argv: List[str]) -> int:
     rpc = _records_per_chunk(batch_mb)
     cuts_fn, rpc = _build_cuts_fn(params, devices, rpc)
     cfg = EngineConfig(records_per_chunk=rpc, compat=compat)
+    if metrics_on:
+        from .utils.metrics import Metrics
+
+        cfg.metrics = Metrics()
     in_off = in_off2 = 0
     if dist.active:
         err = dist.check_splittable(infnc, infn, infn2)
@@ -744,6 +763,8 @@ def pe_main(argv: List[str]) -> int:
             if s is not sys.stdout.buffer:
                 s.close()
 
+    if cfg.metrics is not None:
+        cfg.metrics.report()
     counters = _merge_counters(counters)
     if not quiet and dist.pid == 0:
         c = counters

@@ -45,6 +45,7 @@ from ..oracle import (
     sliding_window_cuts,
 )
 from ..ops import TrimParams, compute_cuts_jit
+from ..utils.metrics import Metrics, maybe as _stage
 from .chunker import iter_record_chunks
 
 CutsFn = Callable[[np.ndarray, np.ndarray, np.ndarray], Tuple]
@@ -120,6 +121,9 @@ class EngineConfig:
     # input file.  None = to EOF.
     byte_limit: Optional[int] = None
     byte_limit2: Optional[int] = None
+    # per-chunk stage timing collector (SURVEY.md §5.1); CLI --metrics /
+    # bench.py stall detection.  None = zero-overhead no-op.
+    metrics: Optional[Metrics] = None
 
 
 def _mmap_input(stream: BinaryIO, byte_limit: Optional[int] = None):
@@ -319,7 +323,7 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
         if not qual_clean or B % SL:
             r = (step_explicit(seq, qual, lengths) if needs_seq
                  else step_explicit_q(qual, lengths))
-            return _decode_codes(np.asarray(r))
+            return _PendingCuts([], [r])
 
         futs: list = []
         outs: list = []
@@ -330,12 +334,35 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
                 futs.append(step_q(qual[i : i + SL]))
             if len(futs) > inflight:
                 outs.append(np.asarray(futs.pop(0)))
-        outs.extend(np.asarray(f) for f in futs)
-        axis = 1 if outs[0].ndim == 2 else 0
-        return _decode_codes(np.concatenate(outs, axis=axis))
+        return _PendingCuts(outs, futs)
 
     fn.warmup_aot = warmup_aot
+    fn.lazy = True  # returns _PendingCuts; fetch deferred to the window
     return fn
+
+
+class _PendingCuts:
+    """One chunk's device results, fetch deferred (TPU lazy dispatch).
+
+    ``outs`` are already-fetched numpy slices (the in-chunk inflight
+    window); ``futs`` are outstanding device arrays.  Deferring the final
+    fetch lets the engine dispatch chunk i+1's H2D before synchronizing
+    on chunk i's result, so transfer and device compute overlap across
+    chunks while all device interaction stays on the calling thread
+    (VERDICT.md round-2 item 5)."""
+
+    __slots__ = ("outs", "futs")
+
+    def __init__(self, outs: list, futs: list):
+        self.outs = outs
+        self.futs = futs
+
+    def materialize(self):
+        outs = self.outs + [np.asarray(f) for f in self.futs]
+        if len(outs) == 1:
+            return _decode_codes(outs[0])
+        axis = 1 if outs[0].ndim == 2 else 0
+        return _decode_codes(np.concatenate(outs, axis=axis))
 
 
 def _tile_for(b: int) -> int:
@@ -376,9 +403,12 @@ def _decode_codes(arr: np.ndarray):
 def _materialize(result, n: int):
     """Fetch device results -> (five, three, first_bad) numpy arrays.
 
-    Accepts a (five, three, bad) tuple of device arrays, or the TPU path's
-    encoded int32 result (see _decode_codes), decoded into the same
-    contract."""
+    Accepts a (five, three, bad) tuple of device arrays, the TPU path's
+    deferred ``_PendingCuts``, or its encoded int32 result (see
+    _decode_codes), decoded into the same contract."""
+    if isinstance(result, _PendingCuts):
+        five, three, bad = result.materialize()
+        return five[:n], three[:n], bad
     if isinstance(result, tuple):
         five, three, bad = (np.asarray(r) for r in result)
         return five[:n], three[:n], bad
@@ -492,11 +522,22 @@ class _Pipeline:
                 self.errors.append(e)
                 self.stop.set()
 
-    def run(self, producer, dispatcher, consume):
+    def run(self, producer, dispatcher, consume, finalize=None, window=0):
+        """``finalize``/``window``: dispatched chunks are held in a
+        bounded deque and finalized (device-result fetch) on the main
+        thread only after ``window`` newer chunks have been dispatched —
+        H2D of chunk i+1 overlaps compute/D2H of chunk i without any
+        concurrent device interaction (single calling thread)."""
+        from collections import deque
+
         tp = threading.Thread(target=self._producer_loop, args=(producer,), daemon=True)
         tw = threading.Thread(target=self._writer_loop, args=(consume,), daemon=True)
         tp.start()
         tw.start()
+        pending: deque = deque()
+        if finalize is None:
+            finalize = lambda item: item  # noqa: E731
+            window = 0
         try:
             while True:
                 item = self.pack_q.get()
@@ -504,7 +545,11 @@ class _Pipeline:
                     break
                 if self.stop.is_set():
                     continue  # drain
-                self.write_q.put(dispatcher(item))
+                pending.append(dispatcher(item))
+                while len(pending) > window:
+                    self.write_q.put(finalize(pending.popleft()))
+            while pending and not self.stop.is_set():
+                self.write_q.put(finalize(pending.popleft()))
         finally:
             self.write_q.put(_SENTINEL)
             tw.join()
@@ -533,11 +578,16 @@ def run_se(
     """
     cfg = cfg or EngineConfig()
     cuts_fn = _adapt_cuts_fn(cuts_fn or default_cuts_fn(params, cfg))
-    pipe = _Pipeline(cfg.prefetch, n_workspaces=cfg.prefetch + 2,
+    # lazy cuts fns defer the result fetch so chunk i+1's dispatch
+    # overlaps chunk i's device compute/D2H (one extra in-flight chunk,
+    # hence one extra workspace)
+    window = 1 if getattr(cuts_fn, "lazy", False) else 0
+    pipe = _Pipeline(cfg.prefetch, n_workspaces=cfg.prefetch + 2 + window,
                      need_seq=params.trunc_n)
     counters = counters if counters is not None else SECounters()
     state = {"consumed": cfg.skip_records, "l_max": 0, "est": 0}
     outbuf = OutputBuffer()
+    mtr = cfg.metrics
 
     mapped = (_mmap_input(in_stream, cfg.byte_limit)
               if native.available() else None)
@@ -550,20 +600,23 @@ def run_se(
             while off is not None and off < arr.size:
                 ws = pipe.get_workspace()
                 eff, bm = _effective_chunk(cfg, state["l_max"])
-                packed, consumed = pack_fastq_stream(
-                    arr, off, eff,
-                    start_position=state["consumed"],
-                    l_max=state["l_max"],
-                    batch_multiple=bm,
-                    workspace=ws,
-                    need_seq=params.trunc_n,
-                    est_rec_bytes=state["est"],
-                    batch_bytes=cfg.bytes_per_batch,
-                )
+                with _stage(mtr, "pack"):
+                    packed, consumed = pack_fastq_stream(
+                        arr, off, eff,
+                        start_position=state["consumed"],
+                        l_max=state["l_max"],
+                        batch_multiple=bm,
+                        workspace=ws,
+                        need_seq=params.trunc_n,
+                        est_rec_bytes=state["est"],
+                        batch_bytes=cfg.bytes_per_batch,
+                    )
                 off += consumed
                 if packed.n_records == 0:  # trailing partial record
                     pipe.ws_pool.put(ws)
                     break
+                if mtr is not None:
+                    mtr.add_chunk(packed.n_records, consumed)
                 state["consumed"] += packed.n_records
                 state["l_max"] = max(state["l_max"], packed.max_len)
                 state["est"] = max(state["est"], -(-consumed // packed.n_records))
@@ -575,58 +628,72 @@ def run_se(
             skip_records=cfg.skip_records,
             max_chunk_bytes=3 * cfg.bytes_per_batch,
         ):
-            packed = pack_fastq(
-                chunk,
-                start_position=state["consumed"],
-                l_max=state["l_max"],
-                batch_multiple=_effective_chunk(cfg, state["l_max"])[1],
-                workspace=pipe.get_workspace(),
-                need_seq=params.trunc_n,
-                batch_bytes=cfg.bytes_per_batch,
-            )
+            with _stage(mtr, "pack"):
+                packed = pack_fastq(
+                    chunk,
+                    start_position=state["consumed"],
+                    l_max=state["l_max"],
+                    batch_multiple=_effective_chunk(cfg, state["l_max"])[1],
+                    workspace=pipe.get_workspace(),
+                    need_seq=params.trunc_n,
+                    batch_bytes=cfg.bytes_per_batch,
+                )
+            if mtr is not None:
+                mtr.add_chunk(packed.n_records, len(chunk))
             state["consumed"] += packed.n_records
             state["l_max"] = max(state["l_max"], packed.max_len)
             pipe.pack_q.put(packed)
 
     def dispatcher(packed: PackedReads):
-        # dispatch AND fetch on the main thread: all device interaction
-        # stays strictly sequential (concurrent H2D/D2H RPCs stall badly
-        # on high-latency links; device compute is ~0.2ms/chunk, so the
-        # lost overlap is negligible)
-        result = cuts_fn(packed.seq, packed.qual, packed.lengths,
-                         qual_clean=packed.qual_clean)
-        return packed, _materialize(result, packed.n_records)
+        # device RPC issue on the main thread; the result fetch happens
+        # in finalize (also main thread, after `window` newer dispatches)
+        # so all device interaction stays strictly sequential while H2D
+        # overlaps compute across chunks
+        h2d = packed.qual.nbytes * (2 if params.trunc_n else 1)
+        with _stage(mtr, "dispatch", h2d):
+            result = cuts_fn(packed.seq, packed.qual, packed.lengths,
+                             qual_clean=packed.qual_clean)
+        return packed, result
+
+    def finalize(item):
+        packed, result = item
+        with _stage(mtr, "fetch"):
+            mat = _materialize(result, packed.n_records)
+        return packed, mat
 
     def consume(item):
         packed, (five, three, first_bad) = item
-        _check_quality(packed, first_bad, params)
-        keep = three >= 0
-        kept = int(keep.sum())
-        counters.kept += kept
-        counters.discarded += packed.n_records - kept
-        counters.total += packed.n_records
-        if kept:
-            idx = np.flatnonzero(keep)
-            out = assemble_records(
-                packed.data,
-                name_start=packed.name_start[idx],
-                name_len=packed.name_len[idx],
-                seq_start=packed.seq_start[idx],
-                comment_start=packed.comment_start[idx],
-                comment_len=packed.comment_len[idx],
-                qual_start=packed.qual_start[idx],
-                five=five[idx].astype(np.int64),
-                three=three[idx].astype(np.int64),
-                compat=cfg.compat,
-                qualtype=params.qualtype,
-                out=outbuf,
-            )
-            out_stream.write(out)
-        pipe.recycle(packed)
+        with _stage(mtr, "consume"):
+            _check_quality(packed, first_bad, params)
+            keep = three >= 0
+            kept = int(keep.sum())
+            counters.kept += kept
+            counters.discarded += packed.n_records - kept
+            counters.total += packed.n_records
+            if kept:
+                idx = np.flatnonzero(keep)
+                out = assemble_records(
+                    packed.data,
+                    name_start=packed.name_start[idx],
+                    name_len=packed.name_len[idx],
+                    seq_start=packed.seq_start[idx],
+                    comment_start=packed.comment_start[idx],
+                    comment_len=packed.comment_len[idx],
+                    qual_start=packed.qual_start[idx],
+                    five=five[idx].astype(np.int64),
+                    three=three[idx].astype(np.int64),
+                    compat=cfg.compat,
+                    qualtype=params.qualtype,
+                    out=outbuf,
+                )
+                out_stream.write(out)
+                if mtr is not None:
+                    mtr.add_out_bytes(len(out))
+            pipe.recycle(packed)
         if cfg.progress_cb is not None:
             cfg.progress_cb(counters)
 
-    pipe.run(producer, dispatcher, consume)
+    pipe.run(producer, dispatcher, consume, finalize=finalize, window=window)
     return counters
 
 
@@ -691,15 +758,18 @@ def run_pe(
     """
     cfg = cfg or EngineConfig()
     cuts_fn = _adapt_cuts_fn(cuts_fn or default_cuts_fn(params, cfg))
+    window = 1 if getattr(cuts_fn, "lazy", False) else 0  # see run_se
     # two-file runs check out one workspace per mate file per chunk
     pipe = _Pipeline(cfg.prefetch,
-                     n_workspaces=(cfg.prefetch + 2) * (1 if interleaved else 2),
+                     n_workspaces=(cfg.prefetch + 2 + window)
+                     * (1 if interleaved else 2),
                      need_seq=params.trunc_n)
     counters = counters if counters is not None else PECounters()
     if cfg.skip_records % 2:
         raise ValueError("pe skip_records must be even (whole pairs)")
     state = {"consumed": cfg.skip_records, "l_max": 0, "est": 0}
     outbuf = OutputBuffer()
+    mtr = cfg.metrics
 
     def eff_chunk():
         """Per-chunk (records, batch_multiple), byte-capped for long reads.
@@ -711,15 +781,18 @@ def run_pe(
         return eff, bm
 
     def pack(chunk: bytes) -> PackedReads:
-        packed = pack_fastq(
-            chunk,
-            start_position=state["consumed"],
-            l_max=state["l_max"],
-            batch_multiple=eff_chunk()[1],
-            workspace=pipe.get_workspace(),
-            need_seq=params.trunc_n,
-            batch_bytes=cfg.bytes_per_batch,
-        )
+        with _stage(mtr, "pack"):
+            packed = pack_fastq(
+                chunk,
+                start_position=state["consumed"],
+                l_max=state["l_max"],
+                batch_multiple=eff_chunk()[1],
+                workspace=pipe.get_workspace(),
+                need_seq=params.trunc_n,
+                batch_bytes=cfg.bytes_per_batch,
+            )
+        if mtr is not None:
+            mtr.add_chunk(packed.n_records, len(chunk))
         state["l_max"] = max(state["l_max"], packed.max_len)
         return packed
 
@@ -742,19 +815,22 @@ def run_pe(
                 while off is not None and off < arr.size:
                     ws = pipe.get_workspace()
                     eff, bm = eff_chunk()
-                    packed, consumed = pack_fastq_stream(
-                        arr, off, eff,
-                        start_position=state["consumed"],
-                        l_max=state["l_max"],
-                        batch_multiple=bm,
-                        workspace=ws,
-                        need_seq=params.trunc_n,
-                        est_rec_bytes=state["est"],
-                    )
+                    with _stage(mtr, "pack"):
+                        packed, consumed = pack_fastq_stream(
+                            arr, off, eff,
+                            start_position=state["consumed"],
+                            l_max=state["l_max"],
+                            batch_multiple=bm,
+                            workspace=ws,
+                            need_seq=params.trunc_n,
+                            est_rec_bytes=state["est"],
+                        )
                     off += consumed
                     if packed.n_records == 0:
                         pipe.ws_pool.put(ws)
                         break
+                    if mtr is not None:
+                        mtr.add_chunk(packed.n_records, consumed)
                     state["l_max"] = max(state["l_max"], packed.max_len)
                     state["est"] = max(
                         state["est"], -(-consumed // packed.n_records)
@@ -810,7 +886,10 @@ def run_pe(
         while True:
             pk1 = pk2 = None
             n1 = n2 = 0
+            c1 = c2 = 0
             eff, bm = eff_chunk()
+            timer = _stage(mtr, "pack")
+            timer.__enter__()
             if off1 is not None and off1 < arr1.size:
                 ws1 = pipe.get_workspace()
                 pk1, c1 = pack_fastq_stream(
@@ -843,6 +922,7 @@ def run_pe(
                 if n2 == 0:
                     pipe.ws_pool.put(ws2)
                     pk2 = None
+            timer.__exit__()
             if n1 != n2:
                 for pk in (pk1, pk2):
                     if pk is not None:
@@ -852,55 +932,67 @@ def run_pe(
                 )
             if n1 == 0:
                 return
+            if mtr is not None:
+                mtr.add_chunk(2 * n1, c1 + c2)
             pos += n1
             state["consumed"] += 2 * n1
             pipe.pack_q.put(((pk1, pk2), None))
 
     def dispatcher(item):
-        # sequential device interaction incl. the result fetch (see run_se)
+        # device RPC issue only; fetch deferred to finalize (see run_se)
         packed, n1 = item
+        mul = 2 if params.trunc_n else 1
         if isinstance(packed, tuple):  # split mate batches (mmap producer)
             pk1, pk2 = packed
-            r1 = _materialize(
-                cuts_fn(pk1.seq, pk1.qual, pk1.lengths,
-                        qual_clean=pk1.qual_clean), pk1.n_records
-            )
-            r2 = _materialize(
-                cuts_fn(pk2.seq, pk2.qual, pk2.lengths,
-                        qual_clean=pk2.qual_clean), pk2.n_records
-            )
+            with _stage(mtr, "dispatch",
+                        (pk1.qual.nbytes + pk2.qual.nbytes) * mul):
+                r1 = cuts_fn(pk1.seq, pk1.qual, pk1.lengths,
+                             qual_clean=pk1.qual_clean)
+                r2 = cuts_fn(pk2.seq, pk2.qual, pk2.lengths,
+                             qual_clean=pk2.qual_clean)
             return packed, n1, (r1, r2)
-        result = _materialize(
-            cuts_fn(packed.seq, packed.qual, packed.lengths,
-                    qual_clean=packed.qual_clean), packed.n_records
-        )
+        with _stage(mtr, "dispatch", packed.qual.nbytes * mul):
+            result = cuts_fn(packed.seq, packed.qual, packed.lengths,
+                             qual_clean=packed.qual_clean)
         return packed, n1, result
+
+    def finalize(item):
+        packed, n1, result = item
+        with _stage(mtr, "fetch"):
+            if isinstance(packed, tuple):
+                pk1, pk2 = packed
+                mat = (_materialize(result[0], pk1.n_records),
+                       _materialize(result[1], pk2.n_records))
+            else:
+                mat = _materialize(result, packed.n_records)
+        return packed, n1, mat
 
     def consume(item):
         packed, n1, result = item
-        if interleaved:
-            _write_interleaved_chunk(packed, result, counters, out1,
-                                     singles_out, n_record_mode, params, cfg,
-                                     outbuf)
-            pipe.recycle(packed)
-        elif isinstance(packed, tuple):
-            p1k, p2k = packed
-            r1, r2 = result
-            _write_two_file_chunk(p1k, p2k, r1, r2, counters, out1, out2,
-                                  singles_out, params, cfg, outbuf)
-            pipe.recycle(p1k, p2k)
-        else:
-            p1, p2 = _split_packed(packed, n1)
-            f, t, bad = result
-            r1 = (f[:n1], t[:n1], bad[:n1])
-            r2 = (f[n1:], t[n1:], bad[n1:])
-            _write_two_file_chunk(p1, p2, r1, r2, counters, out1, out2,
-                                  singles_out, params, cfg, outbuf)
-            pipe.recycle(packed)
+        with _stage(mtr, "consume"):
+            if interleaved:
+                _write_interleaved_chunk(packed, result, counters, out1,
+                                         singles_out, n_record_mode, params,
+                                         cfg, outbuf)
+                pipe.recycle(packed)
+            elif isinstance(packed, tuple):
+                p1k, p2k = packed
+                r1, r2 = result
+                _write_two_file_chunk(p1k, p2k, r1, r2, counters, out1, out2,
+                                      singles_out, params, cfg, outbuf)
+                pipe.recycle(p1k, p2k)
+            else:
+                p1, p2 = _split_packed(packed, n1)
+                f, t, bad = result
+                r1 = (f[:n1], t[:n1], bad[:n1])
+                r2 = (f[n1:], t[n1:], bad[n1:])
+                _write_two_file_chunk(p1, p2, r1, r2, counters, out1, out2,
+                                      singles_out, params, cfg, outbuf)
+                pipe.recycle(packed)
         if cfg.progress_cb is not None:
             cfg.progress_cb(counters)
 
-    pipe.run(producer, dispatcher, consume)
+    pipe.run(producer, dispatcher, consume, finalize=finalize, window=window)
     return counters
 
 

@@ -423,3 +423,51 @@ def test_pe_two_file_mmap_matches(reference_fixtures, tmp_path):
     with pytest.raises(oracle.FastqValidationError) as e:
         go(True, d2=short)
     assert e.value.message == "Batch2 and Batch1 have different lengths, exiting"
+
+
+def test_metrics_per_chunk_rows(fixture_bytes):
+    """--metrics instrumentation: one aligned row per chunk per stage,
+    correct record/byte totals, lazy-window path included (SURVEY §5.1)."""
+    from sickle_tpu.engine.pipeline import _tpu_cuts_fn
+    from sickle_tpu.utils.metrics import Metrics
+
+    p = params60()
+    m = Metrics()
+    fn = _tpu_cuts_fn(p, slice_rows=256, inflight=2)  # lazy dispatch path
+    cfg = EngineConfig(records_per_chunk=512, compat=Compat.FORK,
+                       slice_rows=256, metrics=m)
+    out = io.BytesIO()
+    c = run_se(io.BytesIO(fixture_bytes), out, p, cfg=cfg, cuts_fn=fn)
+    n_chunks = -(-c.total // 512)
+    assert m.n_chunks == n_chunks
+    assert len(m.dispatch_ms) == n_chunks
+    assert len(m.fetch_ms) == n_chunks
+    assert len(m.consume_ms) == n_chunks
+    assert sum(m.records) == c.total == 2500
+    assert sum(m.in_bytes) == len(fixture_bytes)
+    assert sum(m.out_bytes) == len(out.getvalue())
+    assert sum(m.h2d_bytes) > 0
+    s = m.summary()
+    assert s["chunks"] == n_chunks and s["stalled"] is False
+    import io as _sio
+    buf = _sio.StringIO()
+    m.report(buf)
+    assert "metrics:" in buf.getvalue()
+
+
+def test_metrics_stall_detection():
+    """A single outlier chunk flags the pass; uniform slowness does not."""
+    from sickle_tpu.utils.metrics import Metrics
+
+    m = Metrics()
+    for _ in range(9):
+        m.dispatch_ms.append(10.0)
+        m.fetch_ms.append(5.0)
+    m.dispatch_ms.append(9000.0)
+    m.fetch_ms.append(5.0)
+    assert m.stalled()
+    m2 = Metrics()
+    for _ in range(10):  # uniformly slow = honest throughput, not a stall
+        m2.dispatch_ms.append(3000.0)
+        m2.fetch_ms.append(1000.0)
+    assert not m2.stalled()
