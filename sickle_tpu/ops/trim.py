@@ -116,7 +116,6 @@ def compute_cuts(
     # window size: int(0.1*len) == len // 10; if 0, whole read (trim.cpp:8,30)
     w = lens // 10
     w = jnp.where(w == 0, lens, w)
-    tw = t * w
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     in_read = lane < lens[:, None]

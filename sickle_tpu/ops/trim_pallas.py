@@ -11,8 +11,10 @@ this bandwidth-bound scan.
 Math identical to ops/trim.py (and the scalar oracle), restructured for
 Mosaic:
 
-* prefix sums as a lower-triangular ones MATMUL on the MXU (Mosaic has
-  no cumsum lowering; f32 is exact here since sums < 2^24);
+* prefix sums via a Hillis-Steele log-shift scan on the VPU (Mosaic has
+  no cumsum lowering; ``pltpu.roll`` is a hardware lane rotate, so the
+  scan is O(L log L) elementwise work with no L x L intermediate and
+  stays viable at long-read L);
 * the rolling-window comparison via the transform ``D[j] = C[j] - t*j``
   so ``W[i] >= t*w  <=>  D[i+w] >= D[i]``, with the per-row dynamic
   shift ``w`` resolved by a static select-merge loop over the possible
@@ -60,20 +62,21 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
 
     w = lens // 10
     w = jnp.where(w == 0, lens, w)
-    tw = t * w
 
-    # D[j] = C[j] - t*j; C = exclusive prefix sum via MXU matmul with a
-    # strictly-lower-triangular ones matrix (exact: sums < 2^24 in f32).
-    tri_excl = (
-        jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
-        < jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
-    ).astype(jnp.float32)
-    c_excl = jax.lax.dot_general(
-        qv.astype(jnp.float32), tri_excl,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)  # C[j] = sum q[0..j-1]
-    total = c_excl[:, L - 1 : L] + qv[:, L - 1 : L]  # C[L] as [TB, 1]
+    # D[j] = C[j] - t*j; C = inclusive prefix sum via a Hillis-Steele
+    # log-shift scan on the VPU: O(L log L) elementwise work, no L x L
+    # tensor (the round-2 MXU triangular-matmul version was O(L^2) and
+    # needed an L x L f32 VMEM matrix — unusable at long-read L).
+    # pltpu.roll(x, s) rotates lanes so rolled[i] = x[(i - s) % L];
+    # wrapped lanes (i < s) are masked to 0, keeping the scan exact.
+    csum = qv
+    s = 1
+    while s < L:
+        rolled = pltpu.roll(csum, s, axis=1)
+        csum = csum + jnp.where(lane >= s, rolled, 0)
+        s <<= 1
+    c_excl = csum - qv  # C[j] = sum q[0..j-1]
+    total = csum[:, L - 1 : L]  # C[L] as [TB, 1]
     d = c_excl - t * lane  # D[j], j in [0, L)
     d_last = total - t * L  # D[L], [TB, 1]
 

@@ -62,3 +62,30 @@ def test_pallas_small_batch_tile_clamp():
     params = TrimParams()
     f, t, b = compute_cuts_pallas(seq, qual, lens, params, interpret=True)
     assert f.shape == (8,)
+
+
+def test_pallas_long_reads():
+    """Long reads (L >> 150) are viable now that the prefix sum is a
+    log-shift scan (the round-2 O(L^2) MXU formulation needed an L x L
+    VMEM matrix: 10 GB at 50 kbp).  Interpret-mode equivalence at
+    L=4096 with mixed row lengths."""
+    import numpy as np
+
+    from sickle_tpu.ops import TrimParams, compute_cuts_jit
+    from sickle_tpu.ops.trim_pallas import compute_cuts_pallas
+
+    rng = np.random.default_rng(7)
+    B, L = 16, 4096
+    qual = (rng.integers(33, 74, (B, L))).astype(np.uint8)
+    lens = rng.integers(100, L + 1, B).astype(np.int32)
+    lens[0], lens[1] = L, 10  # boundary rows
+    lane = np.arange(L)[None, :]
+    qual = np.where(lane < lens[:, None], qual, 0).astype(np.uint8)
+    seq = np.where(lane < lens[:, None], ord("A"), 0).astype(np.uint8)
+    params = TrimParams(qual_threshold=30)
+    fj, tj, bj = (np.asarray(x) for x in compute_cuts_jit(seq, qual, lens, params))
+    fp, tp, bp = (np.asarray(x) for x in compute_cuts_pallas(
+        seq, qual, lens, params, tile_b=8, interpret=True))
+    np.testing.assert_array_equal(fp, fj)
+    np.testing.assert_array_equal(tp, tj)
+    np.testing.assert_array_equal(bp, bj)
