@@ -9,14 +9,13 @@ arrays) for the writer.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from ..ops.trim import TrimParams, compute_cuts
+from ..ops.trim import TrimParams
 
 DATA_AXIS = "data"
 
@@ -35,44 +34,28 @@ def data_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
     return Mesh(np.array(devs), (DATA_AXIS,))
 
 
-def sharded_cuts_fn(params: TrimParams, mesh: Mesh, kernel=compute_cuts):
-    """Build a jitted cuts function sharded row-wise over ``mesh``.
+def sharded_cuts_fn(params: TrimParams, mesh: Mesh,
+                    slice_rows: Optional[int] = None,
+                    inflight: Optional[int] = None):
+    """Cuts function sharded row-wise over ``mesh``, with the SAME wire
+    discipline as single-device dispatch.
 
-    The batch dimension must be divisible by the mesh size (the engine
-    rounds chunk batches to a multiple of it).  ``kernel`` may be the jnp
-    formulation or the Pallas kernel — both are row-local.
+    Delegates to the unified device step (engine.pipeline._tpu_cuts_fn
+    with a mesh): qual-only H2D (seq ships only under -n), lengths
+    derived on device from the zero padding, sliced sub-batch dispatch
+    with a deferred fetch, and the packed 4 B/read int32 result — so
+    ``--devices N`` inherits every TPU link optimization instead of the
+    old 3-array / 3-result shard_map wrapper (VERDICT.md round-2 item 4).
+    Ragged batches pad rows to a mesh multiple (length-0 rows are
+    discarded by the kernel); results are sliced back by the caller.
     """
-    n = mesh.devices.size
-    row = NamedSharding(mesh, P(DATA_AXIS))
-    row2 = NamedSharding(mesh, P(DATA_AXIS, None))
+    import os
 
-    def step(seq, qual, lengths):
-        return kernel(seq, qual, lengths, params)
+    from ..engine.pipeline import _tpu_cuts_fn
 
-    shard_mapped = jax.shard_map(
-        step,
-        mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS)),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-    )
-    jitted = jax.jit(shard_mapped)
-
-    def fn(seq, qual, lengths):
-        B = seq.shape[0]
-        if B % n:
-            # pad rows up to a mesh multiple (padding rows have length 0
-            # and are discarded by the kernel); callers slice results
-            # back to their record count
-            pad = n - B % n
-            seq = np.pad(seq, ((0, pad), (0, 0)))
-            qual = np.pad(qual, ((0, pad), (0, 0)))
-            lengths = np.pad(lengths, (0, pad))
-        seq = jax.device_put(seq, row2)
-        qual = jax.device_put(qual, row2)
-        lengths = jax.device_put(lengths, row)
-        five, three, bad = jitted(seq, qual, lengths)
-        if B % n:
-            return five[:B], three[:B], bad[:B]
-        return five, three, bad
-
-    return fn
+    if slice_rows is None:
+        slice_rows = int(os.environ.get("SICKLE_TPU_SLICE_ROWS", 1 << 16))
+    if inflight is None:
+        inflight = int(os.environ.get("SICKLE_TPU_INFLIGHT", 2))
+    return _tpu_cuts_fn(params, slice_rows=slice_rows, inflight=inflight,
+                        mesh=mesh)

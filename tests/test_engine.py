@@ -471,3 +471,32 @@ def test_metrics_stall_detection():
         m2.dispatch_ms.append(3000.0)
         m2.fetch_ms.append(1000.0)
     assert not m2.stalled()
+
+
+def test_sharded_fn_qual_only_and_packed_result(fixture_bytes):
+    """--devices N inherits the TPU link discipline (VERDICT r2 item 4):
+    without -n the sharded fn never touches `seq` (qual-only H2D proves
+    it: seq=None works) and D2H is the packed one-int32-per-read code."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from sickle_tpu.engine.pipeline import _PendingCuts, _materialize
+    from sickle_tpu.io.fastq import pack_fastq
+    from sickle_tpu.ops import compute_cuts_jit
+    from sickle_tpu.parallel import data_mesh, sharded_cuts_fn
+
+    p = params60()
+    fn = sharded_cuts_fn(p, data_mesh(8), slice_rows=512)
+    packed = pack_fastq(fixture_bytes, batch_multiple=512, need_seq=False)
+    assert packed.qual_clean
+    res = fn(None, packed.qual, packed.lengths, qual_clean=True)
+    assert isinstance(res, _PendingCuts)
+    for f in res.futs:
+        assert f.ndim == 1 and f.dtype == np.int32  # 4 B/read, sharded
+    five, three, bad = _materialize(res, packed.n_records)
+    fw, tw, bw = (np.asarray(x) for x in compute_cuts_jit(
+        packed.qual, packed.qual, packed.lengths, p))
+    n = packed.n_records
+    np.testing.assert_array_equal(five, fw[:n])
+    np.testing.assert_array_equal(three, tw[:n])
