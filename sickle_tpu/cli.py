@@ -98,20 +98,32 @@ class _Dist:
         return f"{path}.shard{self.pid}"
 
     def check_splittable(self, *paths) -> Optional[str]:
-        """Error text if any input cannot be byte-split across hosts."""
+        """Error text if any input cannot be byte-split across hosts.
+
+        Plain files split by record-aligned byte ranges; BGZF gzip
+        (blocked — bgzip/samtools output and this framework's own ``-g``
+        output) splits in uncompressed space via its block index.  Only
+        SERIAL gzip is rejected: it has no splittable address space.
+        """
         if not self.active:
             return None
+        from .io import native
+        from .io.compression import BgzfReader
+
         for fp in paths:
             if fp is None:
                 continue
             try:
                 with open(fp, "rb") as f:
-                    if f.read(2) == b"\x1f\x8b":
-                        return (
-                            "****Error: multi-host runs need plain "
-                            "(byte-splittable) input; gzip inputs must be "
-                            f"pre-sharded per host ('{fp}').\n\n"
-                        )
+                    if f.read(2) != b"\x1f\x8b":
+                        continue
+                if native.available() and BgzfReader.try_open(fp) is not None:
+                    continue  # block-splittable; sharded in u-space
+                return (
+                    "****Error: multi-host runs need plain or BGZF "
+                    "(block-splittable) input; serial gzip inputs must "
+                    f"be pre-sharded per host ('{fp}').\n\n"
+                )
             except OSError:
                 pass  # open_input reports missing files with parity text
         return None

@@ -149,6 +149,39 @@ class BgzfReader(io.RawIOBase):
             self._buf_pos += take
         return b"".join(chunks)
 
+    @property
+    def usize(self) -> int:
+        """Total UNCOMPRESSED size (sum of block isizes)."""
+        if self._usizes.size == 0:
+            return 0
+        return int(self._uoffs[-1] + self._usizes[-1])
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        """Seek to an UNCOMPRESSED byte offset.
+
+        The block index maps the offset to its containing block; the next
+        refill starts there and the in-block remainder is skipped.  This
+        is what makes BGZF inputs byte-splittable for --dist: a host's
+        record-aligned (uoffset, ulength) shard costs one block-aligned
+        decode, not an inflate of everything before it."""
+        if whence != 0:
+            raise io.UnsupportedOperation("BgzfReader.seek supports SEEK_SET only")
+        self._buf = memoryview(b"")
+        self._buf_pos = 0
+        if pos <= 0 or self._usizes.size == 0:
+            self._next_block = 0
+            return max(pos, 0)
+        blk = int(np.searchsorted(self._uoffs, pos, side="right")) - 1
+        self._next_block = blk
+        skip = pos - int(self._uoffs[blk])
+        if skip and self._refill():
+            # the refill window starts at blk, so the remainder is within it
+            self._buf_pos = min(skip, len(self._buf))
+        return pos
+
+    def seekable(self) -> bool:
+        return True
+
     def readable(self) -> bool:
         return True
 

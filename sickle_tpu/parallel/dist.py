@@ -44,8 +44,9 @@ def host_file_shard(paths: Sequence, process_id: Optional[int] = None,
                     num_processes: Optional[int] = None) -> List:
     """Round-robin assignment of input files to this host.
 
-    gzip inputs are not byte-splittable, so multi-host sharding is by
-    file (pre-shard datasets per host); plain files can additionally be
+    SERIAL gzip inputs are not byte-splittable, so multi-host sharding
+    for them is by file (pre-shard datasets per host); plain files and
+    BGZF gzip (including this framework's own ``-g`` output) are
     byte-range split with :func:`split_record_ranges`.
     """
     pid = jax.process_index() if process_id is None else process_id
@@ -67,33 +68,157 @@ def _looks_like_record_start(lines: List[bytes]) -> bool:
     )
 
 
-def realign_to_record(path, offset: int, probe_bytes: int = 1 << 16) -> int:
-    """Smallest byte offset >= ``offset`` that starts a FASTQ record."""
-    if offset == 0:
-        return 0
-    with open(path, "rb") as f:
-        f.seek(offset)
-        probe = f.read(probe_bytes)
-    # candidate line starts within the probe
-    starts = [0] if offset == 0 else []
+def _first_record_start(probe: bytes) -> Optional[int]:
+    """Offset within ``probe`` of the first FASTQ record start after a
+    line boundary, else None."""
+    starts = []
     pos = probe.find(b"\n")
     while pos >= 0 and pos + 1 < len(probe):
         starts.append(pos + 1)
         pos = probe.find(b"\n", pos + 1)
     for s in starts:
-        lines = probe[s:].split(b"\n")
-        if _looks_like_record_start(lines):
-            return offset + s
-    raise ValueError(f"no FASTQ record boundary within {probe_bytes} bytes of offset {offset}")
+        if _looks_like_record_start(probe[s:].split(b"\n")):
+            return s
+    return None
+
+
+class _PlainSpan:
+    """Record-address space of a plain FASTQ file (mmap-backed)."""
+
+    def __init__(self, path):
+        self.arr = _mapped(path)
+        self.size = int(self.arr.size)
+
+    def probe(self, offset: int, n: int) -> bytes:
+        return self.arr[offset : offset + n].tobytes()
+
+    def records_before(self, offset: int) -> int:
+        """Record count in [0, offset) (offset must be record-aligned)."""
+        from ..io import native
+
+        lib = native.get_lib()
+        view = self.arr[:offset]
+        if lib is not None:
+            import ctypes
+
+            nl = int(lib.sk_count_newlines(
+                native.ptr(view, ctypes.c_uint8), view.size))
+        else:
+            nl = int(np.count_nonzero(view == 0x0A))
+        return nl // 4
+
+    def offset_of_record(self, k: int) -> int:
+        """Byte offset where 0-based record ``k`` starts (size if past EOF)."""
+        if k == 0:
+            return 0
+        from ..io import native
+
+        lib = native.get_lib()
+        if lib is not None:
+            import ctypes
+
+            pos = int(lib.sk_kth_newline(
+                native.ptr(self.arr, ctypes.c_uint8), self.arr.size, 4 * k))
+        else:
+            nl = np.flatnonzero(self.arr == 0x0A)
+            pos = int(nl[4 * k - 1]) if nl.size >= 4 * k else -1
+        return self.size if pos < 0 else pos + 1
+
+
+class _BgzfSpan:
+    """Record-address space of a BGZF FASTQ file, in UNCOMPRESSED bytes.
+
+    The block index makes the compressed file byte-splittable: offsets
+    here are uncompressed offsets, which the engine consumes directly
+    (BgzfReader.seek + byte_limit on the inflated stream).  Counting
+    streams block-parallel inflate windows (io/_fastqio.cpp), so a
+    boundary probe costs one window and a record count costs one prefix
+    pass — never a whole-file inflate per host.
+    """
+
+    CHUNK = 1 << 24
+
+    def __init__(self, path, reader):
+        self._r = reader
+        self.size = int(reader.usize)
+
+    def probe(self, offset: int, n: int) -> bytes:
+        self._r.seek(offset)
+        return self._r.read(n)
+
+    def records_before(self, offset: int) -> int:
+        self._r.seek(0)
+        left, nl = offset, 0
+        while left > 0:
+            chunk = self._r.read(min(left, self.CHUNK))
+            if not chunk:
+                break
+            nl += chunk.count(b"\n")
+            left -= len(chunk)
+        return nl // 4
+
+    def offset_of_record(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._r.seek(0)
+        need, pos = 4 * k, 0
+        while True:
+            chunk = self._r.read(self.CHUNK)
+            if not chunk:
+                return self.size
+            c = chunk.count(b"\n")
+            if c >= need:
+                nls = np.flatnonzero(
+                    np.frombuffer(chunk, np.uint8) == 0x0A)
+                return pos + int(nls[need - 1]) + 1
+            need -= c
+            pos += len(chunk)
+
+
+def open_span(path):
+    """The record-address space of ``path``: plain bytes, or BGZF
+    uncompressed bytes (block-splittable gzip).  Raises ValueError for
+    serial gzip, which has no splittable address space."""
+    from ..io.compression import BgzfReader, is_gzip
+    from ..io import native
+
+    if is_gzip(path):
+        r = BgzfReader.try_open(path) if native.available() else None
+        if r is None:
+            raise ValueError(
+                f"'{path}' is serial gzip (not BGZF): no byte-splittable "
+                "address space; pre-shard per host"
+            )
+        return _BgzfSpan(path, r)
+    return _PlainSpan(path)
+
+
+def realign_to_record(path, offset: int, probe_bytes: int = 1 << 16) -> int:
+    """Smallest byte offset >= ``offset`` that starts a FASTQ record."""
+    return _realign_span(open_span(path), offset, probe_bytes)
+
+
+def _realign_span(span, offset: int, probe_bytes: int = 1 << 16) -> int:
+    if offset == 0:
+        return 0
+    probe = span.probe(offset, probe_bytes)
+    s = _first_record_start(probe)
+    if s is None:
+        raise ValueError(
+            f"no FASTQ record boundary within {probe_bytes} bytes of offset {offset}"
+        )
+    return offset + s
 
 
 def split_record_ranges(path, n_shards: int) -> List[Tuple[int, int]]:
-    """Split a PLAIN (uncompressed) FASTQ file into record-aligned
-    (offset, length) byte ranges, one per shard."""
-    import os
+    """Split a FASTQ file (plain, or BGZF in uncompressed space) into
+    record-aligned (offset, length) byte ranges, one per shard."""
+    return _split_span(open_span(path), n_shards)
 
-    size = os.path.getsize(path)
-    bounds = [realign_to_record(path, size * i // n_shards) for i in range(n_shards)]
+
+def _split_span(span, n_shards: int) -> List[Tuple[int, int]]:
+    size = span.size
+    bounds = [_realign_span(span, size * i // n_shards) for i in range(n_shards)]
     bounds.append(size)
     return [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_shards)]
 
@@ -102,60 +227,27 @@ def _mapped(path) -> np.ndarray:
     return np.memmap(path, dtype=np.uint8, mode="r")
 
 
-def _records_before(arr: np.ndarray, offset: int) -> int:
-    """Record count in arr[:offset] (offset must be record-aligned)."""
-    from ..io import native
-
-    lib = native.get_lib()
-    view = arr[:offset]
-    if lib is not None:
-        import ctypes
-
-        nl = int(lib.sk_count_newlines(native.ptr(view, ctypes.c_uint8),
-                                       view.size))
-    else:
-        nl = int(np.count_nonzero(view == 0x0A))
-    return nl // 4
-
-
-def _offset_of_record(arr: np.ndarray, k: int) -> int:
-    """Byte offset where 0-based record ``k`` starts (arr.size if past EOF)."""
-    if k == 0:
-        return 0
-    from ..io import native
-
-    lib = native.get_lib()
-    if lib is not None:
-        import ctypes
-
-        pos = int(lib.sk_kth_newline(native.ptr(arr, ctypes.c_uint8),
-                                     arr.size, 4 * k))
-    else:
-        nl = np.flatnonzero(arr == 0x0A)
-        pos = int(nl[4 * k - 1]) if nl.size >= 4 * k else -1
-    return arr.size if pos < 0 else pos + 1
-
-
 def shard_record_ranges(path, n_shards: int, align: int = 1) -> List[Tuple[int, int]]:
     """Record-aligned (offset, length) byte ranges, one per host, with
     every boundary additionally on an ``align``-record multiple
-    (interleaved pe passes 2 so no host splits a pair).
+    (interleaved pe passes 2 so no host splits a pair).  BGZF inputs
+    shard in uncompressed space (the engine seeks the block index).
 
     The per-host work is an independent stream over its range — no
     cross-host traffic on the read path (SURVEY.md §2.2); concatenating
     the shard outputs in shard order reproduces the single-host bytes.
     """
-    ranges = split_record_ranges(path, n_shards)
+    span = open_span(path)
+    ranges = _split_span(span, n_shards)
     if align <= 1:
         return ranges
-    arr = _mapped(path)
     bounds = []
     for off, _length in ranges:
-        rec = _records_before(arr, off)
+        rec = span.records_before(off)
         if rec % align:
-            off = _offset_of_record(arr, rec + (align - rec % align))
+            off = span.offset_of_record(rec + (align - rec % align))
         bounds.append(off)
-    bounds.append(arr.size)
+    bounds.append(span.size)
     return [(bounds[i], bounds[i + 1] - bounds[i]) for i in range(n_shards)]
 
 
@@ -167,12 +259,13 @@ def shard_paired_ranges(
     File 1 is split byte-proportionally (record-aligned); file 2's
     boundaries are derived from file 1's record counts so both shards of a
     host hold exactly the same mates — pair decisions never cross hosts.
+    Either file may be plain or BGZF (uncompressed-space offsets).
     """
-    r1 = split_record_ranges(path1, n_shards)
-    arr1 = _mapped(path1)
-    arr2 = _mapped(path2)
-    recs = [_records_before(arr1, off) for off, _ in r1]
-    bounds2 = [_offset_of_record(arr2, k) for k in recs] + [arr2.size]
+    span1 = open_span(path1)
+    span2 = open_span(path2)
+    r1 = _split_span(span1, n_shards)
+    recs = [span1.records_before(off) for off, _ in r1]
+    bounds2 = [span2.offset_of_record(k) for k in recs] + [span2.size]
     out = []
     for i in range(n_shards):
         out.append(

@@ -246,3 +246,105 @@ def test_sharded_trim_step_counters(reference_fixtures):
     n_valid = int((p.lengths[:B] > 0).sum())
     assert int(total) == n_valid
     assert int(kept) == int((np.asarray(three)[:B] >= 0).sum())
+
+
+def _write_bgzf(path, data: bytes):
+    from sickle_tpu.io.compression import BgzfWriter
+
+    w = BgzfWriter(str(path))
+    w.write(data)
+    w.close()
+
+
+def test_bgzf_seek_uncompressed_space(tmp_path, reference_fixtures):
+    """BgzfReader.seek addresses UNCOMPRESSED offsets via the block
+    index — the primitive that makes BGZF --dist shards work."""
+    from sickle_tpu.io import native
+    from sickle_tpu.io.compression import BgzfReader
+
+    if not native.available():
+        pytest.skip("needs native io lib")
+    data = (reference_fixtures / "test.fastq").read_bytes() * 3
+    path = tmp_path / "x.fastq.gz"
+    _write_bgzf(path, data)
+    r = BgzfReader.try_open(str(path))
+    assert r is not None
+    assert r.usize == len(data)
+    for off in (0, 1, 4096, 48 * 1024, 48 * 1024 + 17, len(data) - 10):
+        r.seek(off)
+        got = r.read(100)
+        assert got == data[off : off + 100], off
+
+
+def test_shard_record_ranges_bgzf(tmp_path, reference_fixtures):
+    """BGZF inputs shard in uncompressed space: ranges tile [0, usize),
+    start on record boundaries, and align=2 keeps whole pairs."""
+    from sickle_tpu.io import native
+
+    if not native.available():
+        pytest.skip("needs native io lib")
+    data = (reference_fixtures / "test.fastq").read_bytes() * 2
+    path = tmp_path / "x.fastq.gz"
+    _write_bgzf(path, data)
+    for n in (2, 3):
+        for align in (1, 2):
+            ranges = shard_record_ranges(path, n, align=align)
+            assert sum(l for _, l in ranges) == len(data)
+            pos = 0
+            for off, length in ranges:
+                assert off == pos
+                shard = data[off : off + length]
+                if shard:
+                    assert shard.startswith(b"@")
+                    recs = shard.count(b"\n") // 4
+                    assert recs % align == 0
+                pos = off + length
+
+
+def test_shard_paired_ranges_bgzf_mixed(tmp_path, reference_fixtures):
+    """Two-file pe sharding with one BGZF and one plain mate file."""
+    from sickle_tpu.io import native
+
+    if not native.available():
+        pytest.skip("needs native io lib")
+    d1 = (reference_fixtures / "test.f.fastq").read_bytes()
+    d2 = (reference_fixtures / "test.r.fastq").read_bytes()
+    p1 = tmp_path / "f1.fastq.gz"
+    _write_bgzf(p1, d1)
+    p2 = reference_fixtures / "test.r.fastq"
+    pairs = shard_paired_ranges(p1, p2, 2)
+    assert sum(l for (_, l), _ in pairs) == len(d1)
+    assert sum(l for _, (_, l) in pairs) == len(d2)
+    for (o1, l1), (o2, l2) in pairs:
+        s1 = d1[o1 : o1 + l1]
+        s2 = d2[o2 : o2 + l2]
+        assert s1.count(b"\n") // 4 == s2.count(b"\n") // 4
+
+
+def test_two_process_se_bgzf_end_to_end(tmp_path, reference_fixtures):
+    """--dist on a BGZF input (this framework's own -g output format):
+    shard-concat must equal the single-host bytes (VERDICT r2 item 6)."""
+    from sickle_tpu.io import native
+
+    if not native.available():
+        pytest.skip("needs native io lib")
+    data = (reference_fixtures / "test.fastq").read_bytes()
+    src = tmp_path / "in.fastq.gz"
+    _write_bgzf(src, data)
+
+    ref_out = tmp_path / "ref.fastq"
+    summary = _single_host(
+        ["se", "-f", str(src), "-t", "sanger", "-q", "60", "-o", str(ref_out)]
+    )
+    out = tmp_path / "dist.fastq"
+    outs = _spawn_cluster(
+        ["se", "-f", str(src), "-t", "sanger", "-q", "60", "-o", str(out)]
+    )
+    shards = [
+        (tmp_path / f"dist.fastq.shard{i}").read_bytes() for i in range(2)
+    ]
+    assert all(shards)
+    assert b"".join(shards) == ref_out.read_bytes()
+    host0 = [o for o in outs if "Total FastQ records" in o]
+    assert len(host0) == 1 and host0[0] == summary
+    assert "Total FastQ records: 2500" in host0[0]
