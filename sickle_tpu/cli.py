@@ -182,7 +182,7 @@ Options:
 --devices, Number of accelerator chips to shard each batch over. Default: all.
 --profile, Write a JAX profiler trace to the given directory.
 --metrics, Print per-chunk pipeline stage timings (pack/dispatch/fetch/write) to stderr at exit.
---checkpoint, Sidecar file making the run restartable (re-run the same command to resume; plain output only).
+--checkpoint, Sidecar file making the run restartable (re-run the same command to resume; gzip output resumes at BGZF member boundaries).
 --strict, Error on ANY out-of-range quality char (default: only chars the trimming scan touches error, matching sickle 1.33).
 --dist, Join a multi-host run (jax.distributed); each host trims its record-aligned shard of the input into <output>.shard<i> and host 0 prints the merged global summary.
 --coordinator, host:port of the jax.distributed coordinator (with --dist; omit on TPU pods for auto-detection).
@@ -230,7 +230,7 @@ Paired-end interleaved reads
 --devices, Number of accelerator chips to shard each batch over. Default: all.
 --profile, Write a JAX profiler trace to the given directory.
 --metrics, Print per-chunk pipeline stage timings (pack/dispatch/fetch/write) to stderr at exit.
---checkpoint, Sidecar file making the run restartable (re-run the same command to resume; plain output only).
+--checkpoint, Sidecar file making the run restartable (re-run the same command to resume; gzip output resumes at BGZF member boundaries).
 --strict, Error on ANY out-of-range quality char (default: only chars the trimming scan touches error, matching sickle 1.33).
 --dist, Join a multi-host run (jax.distributed); each host trims its record-aligned shard of the input into <output>.shard<i> and host 0 prints the merged global summary.
 --coordinator, host:port of the jax.distributed coordinator (with --dist; omit on TPU pods for auto-detection).
@@ -291,8 +291,15 @@ def _build_cuts_fn(params: TrimParams, devices: Optional[int], rpc: int):
     return sharded_cuts_fn(params, mesh), rpc
 
 
-def _open_resumable(path: str):
-    """Open an output for checkpointed writing (create if missing)."""
+def _open_resumable(path: str, gzip_out: bool = False):
+    """Open an output for checkpointed writing (create if missing).
+
+    gzip outputs open as a resumable BgzfWriter: flushes land on member
+    boundaries, so checkpointed sizes are valid truncation points."""
+    if gzip_out:
+        from .io.compression import BgzfWriter
+
+        return BgzfWriter(path, resumable=True)
     try:
         return open(path, "r+b")
     except FileNotFoundError:
@@ -455,9 +462,11 @@ def se_main(argv: List[str]) -> int:
     counters_in = None
     ck = None
     if ckfn:
-        if gzip_out:
+        if gzip_out and not native.available():
             sys.stderr.write(
-                "****Error: --checkpoint requires plain (non-gzip) output.\n\n"
+                "****Error: --checkpoint with -g needs the native BGZF "
+                "codec (serial gzip has no member-aligned truncation "
+                "points).\n\n"
             )
             return 1
         from .engine.checkpoint import TrimCheckpoint, progress_saver, resume_outputs
@@ -472,7 +481,7 @@ def se_main(argv: List[str]) -> int:
             if in_off:
                 fin.seek(in_off)
             if ck is not None:
-                out = _open_resumable(outfn)
+                out = _open_resumable(outfn, gzip_out)
                 if st is not None:
                     resume_outputs(st, {outfn: out})
                     counters_in = SECounters(**st.counters)
@@ -692,9 +701,11 @@ def pe_main(argv: List[str]) -> int:
     counters_in = None
     ck = None
     if ckfn:
-        if gzip_out:
+        if gzip_out and not native.available():
             sys.stderr.write(
-                "****Error: --checkpoint requires plain (non-gzip) output.\n\n"
+                "****Error: --checkpoint with -g needs the native BGZF "
+                "codec (serial gzip has no member-aligned truncation "
+                "points).\n\n"
             )
             return 1
         from .engine.checkpoint import TrimCheckpoint, progress_saver, resume_outputs
@@ -707,7 +718,7 @@ def pe_main(argv: List[str]) -> int:
 
     def out_stream(path):
         if ck is not None:
-            s = _open_resumable(path)
+            s = _open_resumable(path, gzip_out)
             ck_streams[path] = s
         else:
             s = open_output(path, gzip_out)

@@ -7,8 +7,12 @@ every durably-written chunk; a restart truncates the outputs to the
 recorded sizes and fast-forwards the inputs — valid because the engine's
 output is deterministic and order-preserving at any parallelism.
 
-Only plain (non-gzip) outputs are resumable: a byte size inside a gzip
-stream is not a member boundary, so truncate+append would corrupt it.
+Plain outputs truncate anywhere; gzip outputs are resumable when written
+as BGZF (the ``-g`` default with the native codec): every flush emits
+whole gzip members, so recorded sizes are member boundaries and
+truncate+append yields a valid multi-member stream.  Only SERIAL gzip
+output (no native codec) is unresumable — a byte size inside its single
+member is not a boundary.
 """
 
 from __future__ import annotations

@@ -233,8 +233,21 @@ class BgzfWriter(io.RawIOBase):
 
     FLUSH_BYTES = 16 << 20
 
-    def __init__(self, path: PathLike, level: int = 4):
-        self._f = open(path, "wb", buffering=1 << 20)
+    def __init__(self, path: PathLike, level: int = 4, resumable: bool = False):
+        """``resumable``: open read-write (create if missing) so a
+        checkpointed run can truncate to a recorded size and append.
+        Every ``flush()`` emits whole BGZF members, so any post-flush
+        ``tell()`` is a valid truncation point — appending fresh members
+        after it yields a standard multi-member gzip stream.  This is
+        what makes ``-g`` output checkpoint/resume-safe (a byte offset
+        inside a SERIAL gzip stream is never a member boundary)."""
+        if resumable:
+            try:
+                self._f = open(path, "r+b", buffering=1 << 20)
+            except FileNotFoundError:
+                self._f = open(path, "w+b", buffering=1 << 20)
+        else:
+            self._f = open(path, "wb", buffering=1 << 20)
         self._level = level
         self._pending: list = []
         self._pending_bytes = 0
@@ -246,6 +259,23 @@ class BgzfWriter(io.RawIOBase):
         if self._pending_bytes >= self.FLUSH_BYTES:
             self._flush_blocks(final=False)
         return len(data)
+
+    def flush(self) -> None:
+        """Compress + write all buffered bytes as whole BGZF members."""
+        if self._f is None:  # RawIOBase.close() flushes after our close
+            return
+        if self._pending_bytes:
+            self._flush_blocks(final=False)
+        self._f.flush()
+
+    def tell(self) -> int:
+        return self._f.tell()
+
+    def seek(self, pos: int, whence: int = 0) -> int:
+        return self._f.seek(pos, whence)
+
+    def truncate(self, size=None) -> int:
+        return self._f.truncate(size)
 
     def _flush_blocks(self, final: bool) -> None:
         import ctypes

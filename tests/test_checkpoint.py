@@ -159,9 +159,93 @@ def test_cli_checkpoint_end_to_end(reference_fixtures, tmp_path, capsys):
     assert "FastQ records kept: 2403" in s2
 
 
-def test_cli_checkpoint_rejects_gzip(tmp_path, capsys):
-    rc = cli.main([
-        "se", "-f", "/dev/null", "-t", "sanger", "-o",
-        str(tmp_path / "o.gz"), "-g", "--checkpoint", str(tmp_path / "c"),
-    ])
-    assert rc == 1
+def test_gzip_checkpoint_resume_byte_identical(fixture_bytes, tmp_path):
+    """-g + --checkpoint: BgzfWriter flushes whole gzip members at every
+    progress callback, so a recorded size is a valid truncation point;
+    kill/resume reproduces the straight checkpointed run's .gz bytes
+    exactly and the plain run's decompressed bytes (VERDICT r2 item 8)."""
+    import gzip as _gz
+
+    from sickle_tpu.io import native
+    from sickle_tpu.io.compression import BgzfWriter
+
+    if not native.available():
+        pytest.skip("needs native BGZF codec")
+    p = params60()
+
+    def cfg_with(cb=None):
+        return EngineConfig(records_per_chunk=256, compat=Compat.FORK,
+                            progress_cb=cb)
+
+    # plain reference output (decompressed golden)
+    golden = io.BytesIO()
+    want = run_se(io.BytesIO(fixture_bytes), golden, p, cfg=cfg_with())
+
+    # straight checkpointed run (flush-per-chunk block segmentation)
+    straight = str(tmp_path / "straight.fastq.gz")
+    ck0 = TrimCheckpoint(str(tmp_path / "ck0.json"))
+    out = BgzfWriter(straight, resumable=True)
+    run_se(io.BytesIO(fixture_bytes), out, p,
+           cfg=cfg_with(progress_saver(ck0, dataclasses.asdict,
+                                       {straight: out})))
+    out.close()
+
+    # crash after 3 chunks, then resume
+    out_path = str(tmp_path / "out.fastq.gz")
+    ck = TrimCheckpoint(str(tmp_path / "ck.json"))
+    out = BgzfWriter(out_path, resumable=True)
+    saver = progress_saver(ck, dataclasses.asdict, {out_path: out})
+    chunks = {"n": 0}
+
+    def crashing_cb(counters):
+        saver(counters)
+        chunks["n"] += 1
+        if chunks["n"] == 3:
+            raise RuntimeError("simulated crash")
+
+    with pytest.raises(RuntimeError):
+        run_se(io.BytesIO(fixture_bytes), out, p, cfg=cfg_with(crashing_cb))
+    out._f.write(b"GARBAGE-PARTIAL-MEMBER")  # post-checkpoint debris
+    out._f.close()
+
+    st = ck.load()
+    assert st is not None and 0 < st.records_done < 2500
+    out = BgzfWriter(out_path, resumable=True)
+    resume_outputs(st, {out_path: out})
+    cfg2 = EngineConfig(
+        records_per_chunk=256, compat=Compat.FORK,
+        skip_records=st.records_done,
+        progress_cb=progress_saver(ck, dataclasses.asdict, {out_path: out}),
+    )
+    got = run_se(io.BytesIO(fixture_bytes), out, p, cfg=cfg2,
+                 counters=SECounters(**st.counters))
+    out.close()
+
+    resumed = open(out_path, "rb").read()
+    assert resumed == open(straight, "rb").read()  # exact .gz bytes
+    assert _gz.decompress(resumed) == golden.getvalue()
+    assert dataclasses.asdict(got) == dataclasses.asdict(want)
+
+
+def test_cli_checkpoint_gzip_end_to_end(reference_fixtures, tmp_path, capsys):
+    import gzip as _gz
+
+    from sickle_tpu.io import native
+
+    if not native.available():
+        pytest.skip("needs native BGZF codec")
+    src = str(reference_fixtures / "test.fastq")
+    out = str(tmp_path / "o.fastq.gz")
+    plain = str(tmp_path / "o.fastq")
+    ckf = str(tmp_path / "ck.json")
+    assert cli.main(["se", "-f", src, "-t", "sanger", "-q", "60", "-o",
+                     plain, "--compat", "fork"]) == 0
+    assert cli.main(["se", "-f", src, "-t", "sanger", "-q", "60", "-o", out,
+                     "-g", "--checkpoint", ckf, "--compat", "fork"]) == 0
+    s1 = capsys.readouterr().out
+    assert "FastQ records kept: 2403" in s1
+    assert _gz.decompress(open(out, "rb").read()) == open(plain, "rb").read()
+    # idempotent completed-run re-run
+    assert cli.main(["se", "-f", src, "-t", "sanger", "-q", "60", "-o", out,
+                     "-g", "--checkpoint", ckf, "--compat", "fork"]) == 0
+    assert _gz.decompress(open(out, "rb").read()) == open(plain, "rb").read()
