@@ -141,6 +141,22 @@ def _msg(debug: bool, text: str) -> None:
         _log_msg(text)
 
 
+def _reader_msg(debug: bool, compat: Compat, path) -> None:
+    """Stdout parity for "Building reader for <path>".
+
+    The fork prints this line UNCONDITIONALLY from the reader ctor
+    (/root/reference/src/GZReader.cpp:12 — a bare std::cout, not gated on
+    _DEBUGMODE_), so even a debug-disabled fork build emits it on every
+    clean run (it is in the recorded goldens' stdout).  --compat fork
+    therefore always prints it; upstream 1.33 has no such line, so the
+    default compat stays quiet unless -d."""
+    if compat == Compat.FORK:
+        sys.stdout.write(f"Building reader for {path}\n")
+        sys.stdout.flush()
+    else:
+        _msg(debug, f"Building reader for {path}")
+
+
 def main_usage(status: int) -> int:
     sys.stdout.write(
         f"\nUsage: {PROGRAM_NAME} <command> [options]\n\n"
@@ -475,7 +491,7 @@ def se_main(argv: List[str]) -> int:
         st = ck.load()
 
     _msg(debug, "trim_main()")
-    _msg(debug, f"Building reader for {infn}")
+    _reader_msg(debug, compat, infn)
     try:
         with open_input(infn) as fin:
             if in_off:
@@ -738,7 +754,7 @@ def pe_main(argv: List[str]) -> int:
 
     try:
         if infnc:
-            _msg(debug, f"Building reader for {infnc}")
+            _reader_msg(debug, compat, infnc)
             with open_input(infnc) as fin:
                 if in_off:
                     fin.seek(in_off)
@@ -755,8 +771,8 @@ def pe_main(argv: List[str]) -> int:
                         counters=counters_in,
                     )
         else:
-            _msg(debug, f"Building reader for {infn}")
-            _msg(debug, f"Building reader for {infn2}")
+            _reader_msg(debug, compat, infn)
+            _reader_msg(debug, compat, infn2)
             with open_input(infn) as f1, open_input(infn2) as f2:
                 if in_off:
                     f1.seek(in_off)

@@ -236,3 +236,32 @@ def test_cli_mismatched_pe_files(tmp_path, capsys):
     )
     assert rc == 1
     assert "different lengths" in err
+
+
+def test_fork_compat_building_reader_stdout(tmp_path, reference_fixtures, capsys):
+    """--compat fork prints the fork's unconditional 'Building reader'
+    stdout lines (GZReader.cpp:12 is a bare cout, present even in
+    debug-disabled builds — they are in the recorded goldens' stdout);
+    the 1.33 default stays quiet."""
+    src = str(reference_fixtures / "test.fastq")
+    out = str(tmp_path / "o.fastq")
+    rc, stdout, _ = run_cli(["se", "-f", src, "-t", "sanger", "-q", "60",
+                             "-o", out, "--compat", "fork"], capsys)
+    assert rc == 0
+    assert f"Building reader for {src}\n" in stdout
+    rc, stdout, _ = run_cli(["se", "-f", src, "-t", "sanger", "-q", "60",
+                             "-o", out], capsys)
+    assert rc == 0
+    assert "Building reader" not in stdout
+    # pe two-file fork-compat: one line per reader, in open order
+    rc, stdout, _ = run_cli([
+        "pe", "-t", "sanger", "-q", "60", "--compat", "fork",
+        "-f", str(reference_fixtures / "test.f.fastq"),
+        "-r", str(reference_fixtures / "test.r.fastq"),
+        "-o", str(tmp_path / "p1.fastq"), "-p", str(tmp_path / "p2.fastq"),
+        "-s", str(tmp_path / "ps.fastq"),
+    ], capsys)
+    assert rc == 0
+    i1 = stdout.find("Building reader for")
+    i2 = stdout.find("Building reader for", i1 + 1)
+    assert i1 >= 0 and i2 > i1

@@ -48,3 +48,26 @@ def test_trim_all_pe(fastq_dir, tmp_path):
     assert (out / "pairA.1.trim.fastq").exists()
     assert (out / "pairA.2.trim.fastq").exists()
     assert (out / "pairA.s.trim.fastq").exists()
+
+
+def test_galaxy_wrapper_param_parity():
+    """The Galaxy wrapper exposes the reference wrapper's full parameter
+    surface (/root/reference/sickle.xml:97-115: qual/length thresholds,
+    threads, batch, -x, -n) plus -g, each mapped into the command."""
+    import os
+    import xml.etree.ElementTree as ET
+
+    path = os.path.join(os.path.dirname(__file__), "..", "galaxy",
+                        "sickle_tpu.xml")
+    tree = ET.parse(path)
+    names = {p.get("name") for p in tree.iter("param")}
+    for want in ("qual_threshold", "length_threshold", "threads", "batch",
+                 "no_five_prime", "trunc_n", "gzip_output", "output_n"):
+        assert want in names, want
+    cmd = tree.find("command").text
+    for frag in ("-q $qual_threshold", "-l $length_threshold", "-a $threads",
+                 "-b $batch", "$no_five_prime", "$trunc_n", "$gzip_output"):
+        assert frag in cmd, frag
+    # the <tests> block exercises the new params (VERDICT r2 item 7)
+    test_params = {p.get("name") for p in tree.find("tests").iter("param")}
+    assert {"threads", "batch"} <= test_params
