@@ -502,6 +502,45 @@ def _check_quality(packed: PackedReads, first_bad: np.ndarray, params: TrimParam
         _recheck_quality_row(packed, int(row), params)
 
 
+# Process-level reuse pools.  A PackWorkspace's buffers are tens of MB
+# and this container's first-touch page faults cost ~400 us each, so a
+# run that allocates fresh workspaces pays 100+ ms before the first
+# chunk packs; back-to-back runs (bench passes, trim_all directories)
+# reuse warm pages instead.  Bounded so idle processes don't hoard.
+_POOL_LOCK = threading.Lock()
+_WS_POOL: dict = {}  # need_seq -> [PackWorkspace]
+_OUTBUF_POOL: list = []
+_POOL_MAX = 8
+
+
+def _ws_checkout(need_seq: bool, n: int) -> list:
+    with _POOL_LOCK:
+        have = _WS_POOL.setdefault(need_seq, [])
+        out = [have.pop() for _ in range(min(len(have), n))]
+    out.extend(PackWorkspace(need_seq=need_seq) for _ in range(n - len(out)))
+    return out
+
+
+def _ws_return(need_seq: bool, ws_list: list) -> None:
+    with _POOL_LOCK:
+        have = _WS_POOL.setdefault(need_seq, [])
+        have.extend(ws_list)
+        del have[_POOL_MAX:]
+
+
+def _outbuf_checkout() -> OutputBuffer:
+    with _POOL_LOCK:
+        if _OUTBUF_POOL:
+            return _OUTBUF_POOL.pop()
+    return OutputBuffer()
+
+
+def _outbuf_return(buf: OutputBuffer) -> None:
+    with _POOL_LOCK:
+        _OUTBUF_POOL.append(buf)
+        del _OUTBUF_POOL[_POOL_MAX:]
+
+
 class _Pipeline:
     """Shared 3-stage machinery; stage bodies are provided by the driver.
 
@@ -518,10 +557,12 @@ class _Pipeline:
         self.errors: list = []
         self.stop = threading.Event()
         # reusable pack workspaces, one per in-flight chunk (+2 slack);
-        # producer checks out, writer recycles after materializing results
+        # producer checks out, writer recycles after materializing
+        # results; checked out of (and returned to) the process pool
+        self._need_seq = need_seq
         self.ws_pool: queue.Queue = queue.Queue()
-        for _ in range(n_workspaces):
-            self.ws_pool.put(PackWorkspace(need_seq=need_seq))
+        for ws in _ws_checkout(need_seq, n_workspaces):
+            self.ws_pool.put(ws)
 
     def get_workspace(self) -> PackWorkspace:
         # stop-aware: when the writer fails, drained chunks are never
@@ -599,6 +640,13 @@ class _Pipeline:
             self.write_q.put(_SENTINEL)
             tw.join()
             tp.join(timeout=10)
+            drained = []
+            while True:
+                try:
+                    drained.append(self.ws_pool.get_nowait())
+                except queue.Empty:
+                    break
+            _ws_return(self._need_seq, drained)
         self.check()
 
 
@@ -631,7 +679,7 @@ def run_se(
                      need_seq=params.trunc_n)
     counters = counters if counters is not None else SECounters()
     state = {"consumed": cfg.skip_records, "l_max": 0, "est": 0}
-    outbuf = OutputBuffer()
+    outbuf = _outbuf_checkout()
     mtr = cfg.metrics
 
     mapped = (_mmap_input(in_stream, cfg.byte_limit)
@@ -738,7 +786,11 @@ def run_se(
         if cfg.progress_cb is not None:
             cfg.progress_cb(counters)
 
-    pipe.run(producer, dispatcher, consume, finalize=finalize, window=window)
+    try:
+        pipe.run(producer, dispatcher, consume, finalize=finalize,
+                 window=window)
+    finally:
+        _outbuf_return(outbuf)
     return counters
 
 
@@ -813,7 +865,7 @@ def run_pe(
     if cfg.skip_records % 2:
         raise ValueError("pe skip_records must be even (whole pairs)")
     state = {"consumed": cfg.skip_records, "l_max": 0, "est": 0}
-    outbuf = OutputBuffer()
+    outbuf = _outbuf_checkout()
     mtr = cfg.metrics
 
     def eff_chunk():
@@ -1037,7 +1089,11 @@ def run_pe(
         if cfg.progress_cb is not None:
             cfg.progress_cb(counters)
 
-    pipe.run(producer, dispatcher, consume, finalize=finalize, window=window)
+    try:
+        pipe.run(producer, dispatcher, consume, finalize=finalize,
+                 window=window)
+    finally:
+        _outbuf_return(outbuf)
     return counters
 
 
