@@ -190,6 +190,23 @@ def main():
                        cuts_fn=cuts_fn)
         warm_s = time.perf_counter() - t0
         log(f"warmup done in {warm_s:.1f}s (aot={aot_ok})")
+
+        # host warmup: one full host-only pass (trivial numpy cuts fn —
+        # ZERO device traffic) warms the input page cache, the process
+        # buffer pools, and the output file's pages, so the measured pass
+        # measures the system rather than this container's ~400 us
+        # first-touch page faults (PERF_NOTES.md round 3)
+        import numpy as _np
+
+        def _host_cuts(seq, qual, lengths):
+            L = _np.asarray(lengths).astype(_np.int32)
+            return (_np.zeros_like(L), _np.where(L > 0, L, -1),
+                    _np.full_like(L, 0x3FFFFFFF))
+
+        t0 = time.perf_counter()
+        with open(src, "rb") as fin, open(out_path, "wb") as fout:
+            run_se(fin, fout, params, cfg=make_cfg(), cuts_fn=_host_cuts)
+        log(f"host warmup pass done in {time.perf_counter() - t0:.1f}s")
         _settle_link()
 
         # --- headline: se plain-file -> plain-file ---
