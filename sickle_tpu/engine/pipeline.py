@@ -330,21 +330,32 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
     needs_seq = params.trunc_n
     SL = slice_rows
 
-    def warmup_aot(L: int) -> None:
-        """Compile the steady-state executable WITHOUT touching the device.
+    def warmup_aot(L: int, min_rows: int = 2048) -> None:
+        """Compile the steady-state executables WITHOUT touching the device.
 
         ``jit.lower(...).compile()`` runs the (local) AOT compiler only —
-        zero device RPCs — so a fresh process can pre-compile at the run's
-        [slice_rows, L] shape without spending the tunneled link's
-        cumulative-byte budget (PERF_NOTES.md) before the real pass.
+        zero device RPCs — so a fresh process can pre-compile without
+        spending the tunneled link's cumulative-byte budget
+        (PERF_NOTES.md) before the real pass.  Compiles the full
+        [slice_rows, L] shape plus the power-of-two ladder down to
+        ``min_rows``: ragged final chunks are pow2-padded by the packer
+        (_clamp_bm) and dispatched as pow2 tail pieces, so the measured
+        pass never compiles inline.
         """
         import jax.numpy as _jnp
 
-        shape = jax.ShapeDtypeStruct((SL, L), _jnp.uint8)
-        if needs_seq:
-            step_sq.lower(jax.ShapeDtypeStruct((2, SL, L), _jnp.uint8)).compile()
-        else:
-            step_q.lower(shape).compile()
+        rows = SL
+        while rows >= min_rows or rows == SL:
+            if needs_seq:
+                step_sq.lower(
+                    jax.ShapeDtypeStruct((2, rows, L), _jnp.uint8)).compile()
+            else:
+                step_q.lower(
+                    jax.ShapeDtypeStruct((rows, L), _jnp.uint8)).compile()
+            if rows & (rows - 1):  # mesh-rounded SL: drop to pow2 ladder
+                rows = 1 << (rows.bit_length() - 1)
+            else:
+                rows //= 2
 
     def fn(seq, qual, lengths, qual_clean=False):
         lengths = np.asarray(lengths)
@@ -363,7 +374,9 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
         # the padding — proven by the packer (PackedReads.qual_clean).
         # (A NUL inside a read is an invalid quality char; route through
         # the explicit path so it errors, not truncates.)
-        if not qual_clean or B % SL:
+        # The mesh path keeps the explicit fallback for ragged batches
+        # (pow2 tail pieces need not divide the mesh size).
+        if not qual_clean or B % 8 or (mesh is not None and B % SL):
             r = (step_explicit(put2(seq), put2(qual), put1(lengths))
                  if needs_seq
                  else step_explicit_q(put2(qual), put1(lengths)))
@@ -371,12 +384,21 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
 
         futs: list = []
         outs: list = []
-        for i in range(0, B, SL):
+        i = 0
+        while i < B:
+            rem = B - i
+            # full slices, then the pow2-padded ragged tail (_clamp_bm)
+            # as descending power-of-two pieces — every piece hits a
+            # warmup_aot-precompiled executable on the qual-only path
+            # instead of the explicit fallback (+lengths wire, inline
+            # compile mid-pass)
+            n = SL if rem >= SL else 1 << (rem.bit_length() - 1)
             if needs_seq:
                 futs.append(step_sq(put3(
-                    np.stack([seq[i : i + SL], qual[i : i + SL]]))))
+                    np.stack([seq[i : i + n], qual[i : i + n]]))))
             else:
-                futs.append(step_q(put2(qual[i : i + SL])))
+                futs.append(step_q(put2(qual[i : i + n])))
+            i += n
             if len(futs) > inflight:
                 outs.append(np.asarray(futs.pop(0)))
         return _PendingCuts(outs, futs)
