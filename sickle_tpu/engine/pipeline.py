@@ -695,8 +695,10 @@ def run_se(
     cuts_fn = _adapt_cuts_fn(cuts_fn or default_cuts_fn(params, cfg))
     # lazy cuts fns defer the result fetch so chunk i+1's dispatch
     # overlaps chunk i's device compute/D2H (one extra in-flight chunk,
-    # hence one extra workspace)
-    window = 1 if getattr(cuts_fn, "lazy", False) else 0
+    # hence one extra workspace); SICKLE_TPU_WINDOW=0 restores strictly
+    # serialized dispatch+fetch for link-regime comparisons
+    window = (int(os.environ.get("SICKLE_TPU_WINDOW", "1"))
+              if getattr(cuts_fn, "lazy", False) else 0)
     pipe = _Pipeline(cfg.prefetch, n_workspaces=cfg.prefetch + 2 + window,
                      need_seq=params.trunc_n)
     counters = counters if counters is not None else SECounters()
@@ -877,7 +879,8 @@ def run_pe(
     """
     cfg = cfg or EngineConfig()
     cuts_fn = _adapt_cuts_fn(cuts_fn or default_cuts_fn(params, cfg))
-    window = 1 if getattr(cuts_fn, "lazy", False) else 0  # see run_se
+    window = (int(os.environ.get("SICKLE_TPU_WINDOW", "1"))
+              if getattr(cuts_fn, "lazy", False) else 0)  # see run_se
     # two-file runs check out one workspace per mate file per chunk
     pipe = _Pipeline(cfg.prefetch,
                      n_workspaces=(cfg.prefetch + 2 + window)
