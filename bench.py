@@ -339,24 +339,37 @@ def _settle_link(max_wait=None):
         time.sleep(20)
 
 
-def _device_scan_rate(src, params, cfg, warm_chunk, iters=30):
+def _device_scan_rate(src, params, cfg, warm_chunk, iters=32):
+    """Device-resident kernel rate via chained iteration: ``iters`` kernel
+    calls inside ONE jit, each iteration's input data-dependent on the
+    previous output, so XLA can neither hoist nor elide the kernel and
+    the tunneled link contributes exactly one RPC round-trip (the
+    round-2 per-call version measured RPC latency, not the kernel)."""
     import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax import lax
 
     from sickle_tpu.io.fastq import pack_fastq
+    from sickle_tpu.ops.trim import compute_cuts
 
-    # small resident batch (2.5 MB): the measurement amortizes per-call
-    # RPC latency over iters, not over batch bytes
     packed = pack_fastq(warm_chunk, batch_multiple=1 << 14, need_seq=False)
-    qual = jax.device_put(packed.qual)
-    from sickle_tpu.ops import compute_cuts_jit
+    q0 = jax.device_put(packed.qual)  # 2.5 MB resident batch
+    lens = jax.device_put(packed.lengths.astype(np.int32))
 
-    r = compute_cuts_jit(qual, qual, jax.device_put(packed.lengths), params)
-    jax.block_until_ready(r)
-    lengths = jax.device_put(packed.lengths)
+    def body(i, carry):
+        q, acc = carry
+        five, three, bad = compute_cuts(q, q, lens, params)
+        q = q.at[0, 0].set((three[0] % 60 + 33).astype(jnp.uint8))
+        return q, acc + three.sum()
+
+    @jax.jit
+    def run(q):
+        return lax.fori_loop(0, iters, body, (q, jnp.int32(0)))[1]
+
+    jax.block_until_ready(run(q0))  # compile (local) + first execution
     t0 = time.perf_counter()
-    for _ in range(iters):
-        r = compute_cuts_jit(qual, qual, lengths, params)
-    jax.block_until_ready(r)
+    jax.block_until_ready(run(q0))
     dt = time.perf_counter() - t0
     return packed.qual.size * iters / dt / 1e9
 
