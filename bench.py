@@ -252,16 +252,14 @@ def main():
         }
 
         # --- device scan rate (GB/s vs HBM roofline) ---
-        # device-resident batch, same compiled step; includes per-call
-        # executor RPC latency, so this UNDERSTATES the kernel on the
-        # tunneled link (PERF_NOTES.md: device-resident chained timing is
-        # the honest kernel number, tools/tpu_kernel_verify.py).
+        # chained device-resident timing (see _device_scan_rate): the
+        # honest kernel number, one RPC pair on the tunneled link.
         try:
             gb_rate = _device_scan_rate(src, params, cfg0, warm_chunk)
             extra["device_scan_gb_per_s"] = {
                 "value": round(gb_rate, 1), "unit": "GB/s",
                 "vs_baseline": round(gb_rate / HBM_ROOFLINE_GB_S, 3),
-                "note": "vs v5e HBM roofline; includes per-call link RPC latency",
+                "note": "vs v5e HBM roofline; chained device-resident timing, one RPC pair",
             }
             log(f"device scan: {gb_rate:.1f} GB/s "
                 f"({gb_rate / HBM_ROOFLINE_GB_S:.1%} of v5e HBM roofline)")
