@@ -89,6 +89,8 @@ def measured_pass(name, n_units, run, min_rate, make_cfg):
         log(f"{name} pass {attempt}: {n_units} in {dt:.3f}s -> "
             f"{rate:,.0f}/s (stalled={stalled} slow={slow} "
             f"chunk_med={med:.1f}ms)")
+        if os.environ.get("SICKLE_BENCH_VERBOSE"):
+            m.report()
         if not (stalled or slow):
             break
         if attempt == 0 and _time_left() > 120:
@@ -285,16 +287,22 @@ def _settle_link(max_wait=None):
     """Wait (bounded) for the shared tunneled-TPU link to drain before a
     one-pass measurement.
 
-    Two-stage sensing (the round-2 failure: a 128-int32 probe said "fast
-    window" while the 45 MB pass then stalled 962 s — per-RPC latency
-    says nothing about the cumulative-BYTE budget):
-      1. KB probe until round-trips are sub-ms (per-RPC fine regime);
-      2. then a 1 MB probe must clear ~100 MB/s (byte-rate regime);
-         1 MB is large enough to sense the throttle, small enough not
-         to refill the budget while looping.
-    Bounded by SICKLE_BENCH_SETTLE seconds (0 disables)."""
+    Two-stage sensing.  Lessons encoded here, each from a recorded
+    failure:
+    * round 2: a 128-int32 probe said "fast window" while the 45 MB pass
+      stalled 962 s — per-RPC latency says nothing about the
+      cumulative-BYTE budget;
+    * round 3: a 1 MB zeros probe cleared at 1.0 ms and the very next
+      4.8 MB chunk fetch stalled 760 s.  Two fixes: the canary must be
+      (a) INCOMPRESSIBLE — zeros may ride tunnel compression and spend
+      no real budget — and (b) the SAME SIZE as a real chunk transfer,
+      so the budget boundary cannot sit between probe and pass.
+    Stage 1 (cheap KB probe) polls for the per-RPC fine regime; only
+    when RPCs are sub-5 ms does stage 2 spend one slice-sized random
+    canary, requiring >=100 MB/s.  Canary attempts are capped: each
+    costs real budget, and burning the budget while probing it defeats
+    the point.  Bounded by SICKLE_BENCH_SETTLE seconds (0 disables)."""
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     if max_wait is None:
@@ -303,8 +311,13 @@ def _settle_link(max_wait=None):
     if max_wait <= 0 or jax.default_backend() != "tpu":
         return
     probe = jax.jit(lambda x: (x + 1).sum())
-    small = jnp.zeros((128,), jnp.int32)
-    big_host = np.zeros((1 << 18,), np.int32)  # 1 MB
+    rng = np.random.default_rng(0)
+    small = rng.integers(0, 1 << 20, (128,), dtype=np.int32)
+    canary_rows = int(os.environ.get("SICKLE_BENCH_CANARY_ROWS", str(1 << 15)))
+    canary = rng.integers(33, 105, (canary_rows, 152), dtype=np.int32
+                          ).astype(np.uint8)  # qual-like, incompressible-ish
+    canary_s_ok = canary.size / (100e6)  # >=100 MB/s
+    canaries_left = int(os.environ.get("SICKLE_BENCH_CANARY_MAX", "5"))
     start = time.time()
     stage = 0
     while True:
@@ -312,28 +325,34 @@ def _settle_link(max_wait=None):
         if stage == 0:
             jax.block_until_ready(probe(small))
         else:
-            jax.block_until_ready(probe(big_host))
+            canaries_left -= 1
+            jax.block_until_ready(probe(canary))
         dt = time.perf_counter() - t0
         waited = time.time() - start
         if stage == 0:
-            if dt < 0.005:
-                log(f"link probe {dt * 1e3:.1f} ms (fast RPC) — checking byte rate")
+            if dt < 0.005 and canaries_left > 0:
+                log(f"link probe {dt * 1e3:.1f} ms (fast RPC) — "
+                    "spending a slice-size canary")
                 stage = 1
                 continue
-            if dt < 0.05 and waited > max_wait / 2:
+            if dt < 0.05 and (waited > max_wait / 2 or canaries_left <= 0):
                 log(f"link probe {dt * 1e3:.0f} ms (throttle regime) — "
-                    "half the settle budget spent, proceeding")
+                    "settle budget spent, proceeding")
                 return
         else:
-            if dt < 0.015:  # 1 MB in <15 ms => >70 MB/s with RPC latency
-                log(f"1MB probe {dt * 1e3:.1f} ms — byte regime healthy, "
-                    "proceeding")
+            mbps = canary.size / dt / 1e6
+            if dt < canary_s_ok:
+                log(f"canary {canary.size >> 20} MB in {dt * 1e3:.1f} ms "
+                    f"({mbps:.0f} MB/s) — byte regime healthy, proceeding")
                 return
-            log(f"1MB probe {dt * 1e3:.0f} ms — byte budget still cold")
+            log(f"canary {mbps:.0f} MB/s — byte budget still cold "
+                f"({canaries_left} canaries left)")
+            stage = 0
         if waited > max_wait:
-            log(f"probe still slow at settle deadline — proceeding anyway")
+            log("probe still slow at settle deadline — proceeding anyway")
             return
-        log(f"link probe {dt * 1e3:.0f} ms — letting the link drain...")
+        if stage == 0 and dt >= 0.005:
+            log(f"link probe {dt * 1e3:.0f} ms — letting the link drain...")
         time.sleep(20)
 
 

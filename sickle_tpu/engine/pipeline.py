@@ -28,6 +28,7 @@ import numpy as np
 from ..constants import Compat
 from ..io import native
 from ..io.fastq import (
+    QUAL_PLANES,
     OutputBuffer,
     PackedReads,
     PackWorkspace,
@@ -35,6 +36,8 @@ from ..io.fastq import (
     assemble_records_at,
     pack_fastq,
     pack_fastq_stream,
+    qual_bitplanes,
+    qual_minmax,
     record_out_sizes,
 )
 from ..oracle import (
@@ -257,7 +260,8 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
     import jax
     import jax.numpy as jnp
 
-    from ..ops.trim import compute_cuts
+    from ..constants import QUALITY_CONSTANTS
+    from ..ops.trim import compute_cuts, compute_cuts_from_q, decode_planes
 
     if os.environ.get("SICKLE_TPU_KERNEL") == "pallas":
         from ..ops.trim_pallas import compute_cuts_pallas
@@ -297,6 +301,8 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
         # explicit sharded device_put (multi-process jit rejects numpy
         # args with non-trivial in_shardings); jit then traces on the
         # committed sharded arrays -> one SPMD program, zero collectives
+        rep = NamedSharding(mesh, P())
+
         def put2(x):
             return jax.device_put(x, row2)
 
@@ -305,13 +311,29 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
 
         def put3(x):
             return jax.device_put(x, stack3)
+
+        def put0(x):
+            return jax.device_put(x, rep)
     else:
-        put2 = put1 = put3 = lambda x: x  # noqa: E731
+        put2 = put1 = put3 = put0 = lambda x: x  # noqa: E731
 
     @jax.jit
     def step_q(qual):  # no -n: qual only
         lengths = derive_lengths(qual)
         return encode(qual, qual, lengths)  # seq unused by the kernel
+
+    @jax.jit
+    def step_planes(planes, bias):
+        # bit-plane wire format (io.fastq.qual_bitplanes): 6 planes ship
+        # 25% fewer H2D bytes than raw u8 rows, the binding cost when the
+        # byte-metered link throttles (PERF_NOTES.md).  The host min/max
+        # gate proved every char in-range, so no bad-quality flag bits.
+        v = decode_planes(planes)  # int32[B, L]; v == 0 marks padding
+        L = v.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        lengths = jnp.min(jnp.where(v == 0, lane, L), axis=1)
+        five, three = compute_cuts_from_q(v + bias, lengths, params)
+        return (three + 1) | ((five + 1) << 16)
 
     @jax.jit
     def step_sq(stacked):  # -n: [2, B, L] seq+qual in one transfer
@@ -329,6 +351,8 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
 
     needs_seq = params.trunc_n
     SL = slice_rows
+    enc_offset, enc_qmin, enc_qmax = QUALITY_CONSTANTS[params.qualtype]
+    no_planes = bool(os.environ.get("SICKLE_TPU_NO_PLANES"))
 
     def warmup_aot(L: int, min_rows: int = 2048) -> None:
         """Compile the steady-state executables WITHOUT touching the device.
@@ -340,7 +364,9 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
         [slice_rows, L] shape plus the power-of-two ladder down to
         ``min_rows``: ragged final chunks are pow2-padded by the packer
         (_clamp_bm) and dispatched as pow2 tail pieces, so the measured
-        pass never compiles inline.
+        pass never compiles inline.  On the qual-only path both wire
+        formats (bit-planes and raw rows) are compiled: the planes
+        eligibility gate is per-chunk data-dependent.
         """
         import jax.numpy as _jnp
 
@@ -350,6 +376,11 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
                 step_sq.lower(
                     jax.ShapeDtypeStruct((2, rows, L), _jnp.uint8)).compile()
             else:
+                if L % 8 == 0 and not no_planes:
+                    step_planes.lower(
+                        jax.ShapeDtypeStruct((QUAL_PLANES, rows, L // 8),
+                                             _jnp.uint8),
+                        jax.ShapeDtypeStruct((), _jnp.int32)).compile()
                 step_q.lower(
                     jax.ShapeDtypeStruct((rows, L), _jnp.uint8)).compile()
             if rows & (rows - 1):  # mesh-rounded SL: drop to pow2 ladder
@@ -377,14 +408,28 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
         # The mesh path keeps the explicit fallback for ragged batches
         # (pow2 tail pieces need not divide the mesh size).
         if not qual_clean or B % 8 or (mesh is not None and B % SL):
+            fn.last_h2d = qual.nbytes * (2 if needs_seq else 1) + 4 * B
             r = (step_explicit(put2(seq), put2(qual), put1(lengths))
                  if needs_seq
                  else step_explicit_q(put2(qual), put1(lengths)))
             return _PendingCuts([], [r])
 
+        # bit-plane wire eligibility (per chunk, data-dependent): the
+        # whole chunk's chars must fit the encoding's range (=> the range
+        # check cannot fire; out-of-range chunks take the raw path whose
+        # device check preserves the reference's error semantics) AND a
+        # 6-bit band above bias = min - 1 (real data: ~40 distinct chars)
+        bias = -1
+        if (not needs_seq and not no_planes and qual.shape[1] % 8 == 0
+                and qual.shape[1] < MAX_PACKED_L):
+            mn, mx = qual_minmax(qual)
+            if (mn != 255 and mn >= enc_qmin and mx <= enc_qmax
+                    and mx - (mn - 1) < (1 << QUAL_PLANES)):
+                bias = mn - 1
         futs: list = []
         outs: list = []
         i = 0
+        h2d = 0
         while i < B:
             rem = B - i
             # full slices, then the pow2-padded ragged tail (_clamp_bm)
@@ -396,11 +441,19 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
             if needs_seq:
                 futs.append(step_sq(put3(
                     np.stack([seq[i : i + n], qual[i : i + n]]))))
+                h2d += 2 * n * qual.shape[1]
+            elif bias >= 0:
+                planes = qual_bitplanes(qual[i : i + n], bias)
+                futs.append(step_planes(
+                    put3(planes), put0(np.int32(bias - enc_offset))))
+                h2d += planes.nbytes + 4
             else:
                 futs.append(step_q(put2(qual[i : i + n])))
+                h2d += n * qual.shape[1]
             i += n
             if len(futs) > inflight:
                 outs.append(np.asarray(futs.pop(0)))
+        fn.last_h2d = h2d
         return _PendingCuts(outs, futs)
 
     fn.warmup_aot = warmup_aot
@@ -770,6 +823,8 @@ def run_se(
         with _stage(mtr, "dispatch", h2d):
             result = cuts_fn(packed.seq, packed.qual, packed.lengths,
                              qual_clean=packed.qual_clean)
+        if mtr is not None:  # actual wire bytes (e.g. bit-plane format)
+            mtr.h2d_bytes[-1] = getattr(cuts_fn, "last_h2d", h2d)
         return packed, result
 
     def finalize(item):

@@ -355,6 +355,155 @@ void sk_assemble(const uint8_t* data, int64_t k, const int64_t* name_start,
   parallel_for(k, n_threads, assemble_body, &ctx);
 }
 
+// --- quality wire compression: bit-plane packing -----------------------
+//
+// The tunneled-TPU link meters cumulative H2D BYTES (PERF_NOTES.md), so
+// the qual matrix's wire size is the end-to-end throughput cap whenever
+// the link is in its throttle regime.  FASTQ quality chars span a narrow
+// band (typically ~40 distinct values), so the engine ships 6 BIT-PLANES
+// of (q - bias) instead of 8-bit bytes: 25% fewer wire bytes, decoded
+// back to integers on-device with shifts (ops/trim.py decode_planes).
+// Bit extraction is one pmovmskb per 16 input bytes per plane (SSE2).
+
+int sk_qual_minmax(const uint8_t* qual, int64_t n, uint8_t* out_min,
+                   uint8_t* out_max, int n_threads);
+
+int sk_bitplanes(const uint8_t* qual, int64_t B, int64_t L, uint8_t bias,
+                 int planes, uint8_t* out, int n_threads);
+
+}  // extern "C"
+
+#if defined(__SSE2__)
+#include <emmintrin.h>
+#endif
+
+namespace {
+
+struct MinMaxCtx {
+  const uint8_t* p;
+  std::atomic<uint32_t> mn{255}, mx{0};
+};
+
+// min over NONZERO bytes (0 = row padding), max over all bytes
+static void minmax_body(int64_t lo, int64_t hi, void* vctx) {
+  MinMaxCtx* c = static_cast<MinMaxCtx*>(vctx);
+  const uint8_t* p = c->p;
+  uint8_t mn = 255, mx = 0;
+  int64_t i = lo;
+#if defined(__SSE2__)
+  __m128i vmn = _mm_set1_epi8(char(255)), vmx = _mm_setzero_si128();
+  const __m128i zero = _mm_setzero_si128();
+  for (; i + 16 <= hi; i += 16) {
+    __m128i x = _mm_loadu_si128(reinterpret_cast<const __m128i*>(p + i));
+    // zeros -> 255 so padding never wins the min
+    __m128i xz = _mm_or_si128(x, _mm_cmpeq_epi8(x, zero));
+    vmn = _mm_min_epu8(vmn, xz);
+    vmx = _mm_max_epu8(vmx, x);
+  }
+  alignas(16) uint8_t tmp[16];
+  _mm_store_si128(reinterpret_cast<__m128i*>(tmp), vmn);
+  for (int k = 0; k < 16; k++) mn = std::min(mn, tmp[k]);
+  _mm_store_si128(reinterpret_cast<__m128i*>(tmp), vmx);
+  for (int k = 0; k < 16; k++) mx = std::max(mx, tmp[k]);
+#endif
+  for (; i < hi; i++) {
+    uint8_t v = p[i];
+    if (v) mn = std::min(mn, v);
+    mx = std::max(mx, v);
+  }
+  uint32_t cur = c->mn.load(std::memory_order_relaxed);
+  while (mn < cur && !c->mn.compare_exchange_weak(cur, mn)) {}
+  cur = c->mx.load(std::memory_order_relaxed);
+  while (mx > cur && !c->mx.compare_exchange_weak(cur, mx)) {}
+}
+
+struct PlanesCtx {
+  const uint8_t* qual;
+  int64_t B, L, Lb;
+  uint8_t bias;
+  int planes;
+  uint8_t* out;
+};
+
+static void bitplanes_body(int64_t lo, int64_t hi, void* vctx) {
+  PlanesCtx* c = static_cast<PlanesCtx*>(vctx);
+  const int64_t L = c->L, Lb = c->Lb;
+#if defined(__SSE2__)
+  const __m128i vbias = _mm_set1_epi8(char(c->bias));
+  const __m128i hibit = _mm_set1_epi8(char(0x80));
+  for (int64_t b = lo; b < hi; b++) {
+    const uint8_t* row = c->qual + b * L;
+    for (int p = 0; p < c->planes; p++) {
+      uint8_t* o = c->out + (p * c->B + b) * Lb;
+      const int shift = 7 - p;
+      int64_t j = 0;
+      for (; j + 16 <= L; j += 16) {
+        __m128i x = _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + j));
+        // v = saturate(q - bias): padding NULs and any char < bias -> 0
+        __m128i v = _mm_subs_epu8(x, vbias);
+        // move bit p of each byte to bit 7; cross-byte bleed from the
+        // 16-bit shift can only land in bits <7 of the high byte, which
+        // the 0x80 mask kills (bit k' of the low byte reaches lane bit
+        // k'+shift <= 14 < 15)
+        __m128i t = _mm_and_si128(_mm_slli_epi16(v, shift), hibit);
+        int m = _mm_movemask_epi8(t);
+        o[j >> 3] = uint8_t(m & 0xff);
+        o[(j >> 3) + 1] = uint8_t(m >> 8);
+      }
+      if (j < L) {  // L % 16 == 8 tail (row length is an 8-multiple)
+        __m128i x = _mm_loadl_epi64(reinterpret_cast<const __m128i*>(row + j));
+        __m128i v = _mm_subs_epu8(x, vbias);
+        __m128i t = _mm_and_si128(_mm_slli_epi16(v, shift), hibit);
+        o[j >> 3] = uint8_t(_mm_movemask_epi8(t) & 0xff);
+      }
+    }
+  }
+#else
+  for (int64_t b = lo; b < hi; b++) {
+    const uint8_t* row = c->qual + b * L;
+    for (int p = 0; p < c->planes; p++) {
+      uint8_t* o = c->out + (p * c->B + b) * Lb;
+      for (int64_t j = 0; j < L; j += 8) {
+        uint8_t acc = 0;
+        for (int k = 0; k < 8 && j + k < L; k++) {
+          uint8_t q = row[j + k];
+          uint8_t v = q > c->bias ? uint8_t(q - c->bias) : uint8_t(0);
+          acc |= uint8_t(((v >> p) & 1) << k);
+        }
+        o[j >> 3] = acc;
+      }
+    }
+  }
+#endif
+}
+
+}  // namespace
+
+extern "C" {
+
+// min (over nonzero bytes) / max (over all) of a packed qual matrix.
+// Returns 0; *out_min = 255 if every byte is zero.
+int sk_qual_minmax(const uint8_t* qual, int64_t n, uint8_t* out_min,
+                   uint8_t* out_max, int n_threads) {
+  MinMaxCtx ctx;
+  ctx.p = qual;
+  parallel_for(n, n_threads, minmax_body, &ctx);
+  *out_min = uint8_t(ctx.mn.load());
+  *out_max = uint8_t(ctx.mx.load());
+  return 0;
+}
+
+// Pack v = saturate(qual - bias) into `planes` LSB-first bit-planes:
+// out[p][b][j] bit i = bit p of v[b][8j+i].  L must be a multiple of 8;
+// caller guarantees max(qual) - bias < 2^planes (sk_qual_minmax).
+int sk_bitplanes(const uint8_t* qual, int64_t B, int64_t L, uint8_t bias,
+                 int planes, uint8_t* out, int n_threads) {
+  if (L % 8) return 1;
+  PlanesCtx ctx{qual, B, L, L / 8, bias, planes, out};
+  parallel_for(B, n_threads, bitplanes_body, &ctx);
+  return 0;
+}
+
 }  // extern "C"
 
 #include <zlib.h>

@@ -99,6 +99,11 @@ def get_lib():
             pu8, i64, p64, p32, p64, p64, p32, p64, p32, p32, pu8,
             ctypes.c_int, u8, p64, pu8, ctypes.c_int,
         ]
+        lib.sk_qual_minmax.restype = ctypes.c_int
+        lib.sk_qual_minmax.argtypes = [pu8, i64, pu8, pu8, ctypes.c_int]
+        lib.sk_bitplanes.restype = ctypes.c_int
+        lib.sk_bitplanes.argtypes = [pu8, i64, i64, u8, ctypes.c_int, pu8,
+                                     ctypes.c_int]
         lib.sk_bgzf_scan.restype = i64
         lib.sk_bgzf_scan.argtypes = [pu8, i64, p64, p64, p64, i64]
         lib.sk_bgzf_inflate.restype = i64

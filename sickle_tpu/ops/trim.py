@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -88,6 +89,25 @@ def decode_check(qual: jnp.ndarray, lengths: jnp.ndarray, qualtype: QualityType)
     return raw - offset, _first_index(bad)
 
 
+def decode_planes(planes: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of io.fastq.qual_bitplanes, on device.
+
+    ``planes`` is ``uint8[P, B, L // 8]`` LSB-first bit-planes of the
+    biased quality ``v = q_char - bias``; returns ``v`` as
+    ``int32[B, L]``.  Padding bytes pack to all-zero planes, so ``v == 0``
+    marks padding exactly (real quality chars satisfy q_char > bias by
+    the host's min/max gate) — the derive-lengths-from-zeros invariant
+    survives the wire compression.
+    """
+    P, B, Lb = planes.shape
+    x = planes.astype(jnp.int32)
+    rep = jnp.repeat(x, 8, axis=2)  # [P, B, 8*Lb]
+    lane = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 2) & 7
+    bits = (rep >> lane) & 1
+    w = (jnp.int32(1) << jnp.arange(P, dtype=jnp.int32))[:, None, None]
+    return jnp.sum(bits * w, axis=0)
+
+
 def compute_cuts(
     seq: jnp.ndarray,  # uint8[B, L] sequence bytes (only read when trunc_n)
     qual: jnp.ndarray,  # uint8[B, L] raw ASCII quality bytes
@@ -106,12 +126,29 @@ def compute_cuts(
     lane-axis gather is ~1000x slow) or ``"gather"`` (one
     take_along_axis — CPU/GPU default).  ``"auto"`` selects by backend.
     """
-    B, L = qual.shape
+    lens = lengths.astype(jnp.int32)
+    q, first_bad = decode_check(qual, lens, params.qualtype)
+    five, three = compute_cuts_from_q(q, lens, params, seq, formulation)
+    return five, three, first_bad
+
+
+def compute_cuts_from_q(
+    q: jnp.ndarray,  # int32[B, L] decoded qualities (junk beyond lengths)
+    lengths: jnp.ndarray,  # int32[B]; 0 marks padding rows
+    params: TrimParams,
+    seq: Optional[jnp.ndarray] = None,  # only read when trunc_n
+    formulation: str = "auto",
+):
+    """Core cut computation on already-decoded qualities.
+
+    Entry point for wire formats that decode on device (bit-planes via
+    ``decode_planes``, where ``q = v + bias`` is computed by the caller
+    and range errors are excluded host-side).
+    """
+    B, L = q.shape
     t = jnp.int32(params.qual_threshold)
     lthr = jnp.int32(params.length_threshold)
     lens = lengths.astype(jnp.int32)
-
-    q, first_bad = decode_check(qual, lens, params.qualtype)
 
     # window size: int(0.1*len) == len // 10; if 0, whole read (trim.cpp:8,30)
     w = lens // 10
@@ -205,7 +242,7 @@ def compute_cuts(
 
     five = jnp.where(keep, five, -1)
     three = jnp.where(keep, three, -1)
-    return five, three, first_bad
+    return five, three
 
 
 @functools.partial(jax.jit, static_argnames=("params", "formulation"))

@@ -1,0 +1,138 @@
+"""Bit-plane wire format tests (io.fastq.qual_bitplanes <-> ops.trim.decode_planes).
+
+The TPU engine ships 6 LSB-first bit-planes of (qual - bias) instead of
+raw u8 rows when a chunk's quality chars fit a 6-bit band inside the
+encoding's range — 25% fewer H2D bytes on the byte-metered link.  These
+tests pin the round-trip exactly and prove the engine's output is
+byte-identical with the format on and off, including the fallbacks
+(out-of-range chars, NUL bytes, -n) where planes must NOT be used.
+"""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from sickle_tpu.constants import QualityType
+from sickle_tpu.engine import EngineConfig, run_se
+from sickle_tpu.engine.pipeline import _tpu_cuts_fn
+from sickle_tpu.io.fastq import QUAL_PLANES, qual_bitplanes, qual_minmax
+from sickle_tpu.ops import TrimParams
+
+FIXTURE = "/root/reference/test/test.fastq"
+
+
+def _random_qual(rng, B, L, lo=59, hi=105):
+    qual = rng.integers(lo, hi, (B, L)).astype(np.uint8)
+    lens = rng.integers(0, L + 1, B).astype(np.int32)
+    lens[0] = 0
+    lens[-1] = L
+    for b in range(B):
+        qual[b, lens[b]:] = 0
+    return qual, lens
+
+
+@pytest.mark.parametrize("L", [8, 152, 160, 1000 + 8 - 1000 % 8])
+def test_bitplane_roundtrip(L):
+    import jax.numpy as jnp
+
+    from sickle_tpu.ops.trim import decode_planes
+
+    rng = np.random.default_rng(L)
+    qual, _ = _random_qual(rng, 32, L)
+    mn, mx = qual_minmax(qual)
+    assert mn == int(np.where(qual == 0, 255, qual).min())
+    assert mx == int(qual.max())
+    bias = mn - 1
+    assert mx - bias < (1 << QUAL_PLANES)
+    planes = qual_bitplanes(qual, bias)
+    assert planes.shape == (QUAL_PLANES, 32, L // 8)
+    v = np.asarray(decode_planes(jnp.asarray(planes)))
+    vref = np.where(qual > 0, qual.astype(np.int32) - bias, 0)
+    np.testing.assert_array_equal(v, vref)
+
+
+def test_native_matches_numpy_fallback():
+    from sickle_tpu.io import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(7)
+    qual, _ = _random_qual(rng, 64, 152)
+    got = qual_bitplanes(qual, 58)
+    v = np.clip(qual.astype(np.int16) - 58, 0, None).astype(np.uint8)
+    want = np.empty_like(got)
+    for p in range(QUAL_PLANES):
+        want[p] = np.packbits((v >> p) & 1, axis=1, bitorder="little")
+    np.testing.assert_array_equal(got, want)
+
+
+def _run(params, data, no_planes, slice_rows=512):
+    if no_planes:
+        os.environ["SICKLE_TPU_NO_PLANES"] = "1"
+    else:
+        os.environ.pop("SICKLE_TPU_NO_PLANES", None)
+    try:
+        fn = _tpu_cuts_fn(params, slice_rows=slice_rows, inflight=2)
+        buf = io.BytesIO()
+        c = run_se(io.BytesIO(data), buf, params,
+                   cfg=EngineConfig(records_per_chunk=slice_rows,
+                                    slice_rows=slice_rows), cuts_fn=fn)
+        return buf.getvalue(), c, getattr(fn, "last_h2d", None)
+    finally:
+        os.environ.pop("SICKLE_TPU_NO_PLANES", None)
+
+
+def test_engine_byte_identity_planes_vs_raw():
+    params = TrimParams(qualtype=QualityType.SANGER, qual_threshold=60,
+                        length_threshold=20)
+    data = open(FIXTURE, "rb").read()
+    out_p, c_p, h2d_p = _run(params, data, no_planes=False)
+    out_r, c_r, h2d_r = _run(params, data, no_planes=True)
+    assert out_p == out_r
+    assert (c_p.total, c_p.kept, c_p.discarded) == (2500, 2403, 97)
+    assert h2d_p < h2d_r  # planes actually engaged and saved wire bytes
+
+
+def test_out_of_range_chunk_falls_back_with_exact_error():
+    # a char outside sanger [33,126] must produce the reference's exact
+    # error regardless of wire format: the min/max gate routes such
+    # chunks to the raw path whose device range check + host re-scan
+    # preserves the message (reference src/trim.cpp:121-134)
+    from sickle_tpu.oracle import SickleError
+
+    rec = b"@r1 x\nACGTACGTACGTACGTACGTACGT\n+\n" + b"I" * 23 + b"\x1f\n"
+    params = TrimParams(qualtype=QualityType.SANGER, qual_threshold=20,
+                        length_threshold=5)
+    msgs = []
+    for no_planes in (False, True):
+        with pytest.raises(SickleError) as ei:
+            _run(params, rec * 50, no_planes=no_planes)
+        msgs.append(str(ei.value.message))
+    assert msgs[0] == msgs[1]
+
+
+def test_nul_in_quality_still_errors():
+    # NUL inside a read's quality = invalid char; qual_clean=False routes
+    # to the explicit path before planes are ever considered
+    from sickle_tpu.oracle import SickleError
+
+    rec = b"@r1 x\nACGTACGT\n+\nIIII\x00III\n"
+    params = TrimParams(qualtype=QualityType.SANGER, qual_threshold=20,
+                        length_threshold=2)
+    for no_planes in (False, True):
+        with pytest.raises(SickleError):
+            _run(params, rec * 4, no_planes=no_planes)
+
+
+def test_trunc_n_uses_seq_path_and_matches():
+    # -n needs seq on device; planes are qual-only, so the stacked path
+    # must be taken — outputs identical either way
+    params = TrimParams(qualtype=QualityType.SANGER, qual_threshold=20,
+                        length_threshold=10, trunc_n=True)
+    data = open(FIXTURE, "rb").read()
+    out_p, c_p, _ = _run(params, data, no_planes=False)
+    out_r, c_r, _ = _run(params, data, no_planes=True)
+    assert out_p == out_r
+    assert c_p.total == 2500
