@@ -115,7 +115,10 @@ def main():
     # cumulative bytes, and the se headline (measured first, right after
     # warmup) gets the freshest window
     copies2 = int(os.environ.get("SICKLE_BENCH_COPIES2", str(max(copies // 3, 1))))
-    rpc = int(os.environ.get("SICKLE_BENCH_RPC", str(1 << 15)))
+    # 64k-row slices: ~7.3 MB H2D each on the bit-plane wire — fewer
+    # synchronizing RPCs to fine in the throttle regime, still well under
+    # the fast window's 10MB-in-6ms envelope (PERF_NOTES.md)
+    rpc = int(os.environ.get("SICKLE_BENCH_RPC", str(1 << 16)))
     min_rate = float(os.environ.get("SICKLE_BENCH_MIN_RATE", "150000"))
 
     log("initializing jax backend...")
