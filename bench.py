@@ -316,7 +316,7 @@ def _settle_link(max_wait=None):
     probe = jax.jit(lambda x: (x + 1).sum())
     rng = np.random.default_rng(0)
     small = rng.integers(0, 1 << 20, (128,), dtype=np.int32)
-    canary_rows = int(os.environ.get("SICKLE_BENCH_CANARY_ROWS", str(1 << 15)))
+    canary_rows = int(os.environ.get("SICKLE_BENCH_CANARY_ROWS", str(1 << 16)))
     canary = rng.integers(33, 105, (canary_rows, 152), dtype=np.int32
                           ).astype(np.uint8)  # qual-like, incompressible-ish
     canary_s_ok = canary.size / (100e6)  # >=100 MB/s
