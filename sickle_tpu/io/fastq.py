@@ -433,8 +433,20 @@ def _pack_fastq_native(
         # streaming chunk out of a larger buffer: scan only ~the records
         # we will take (the indexer self-extends if the estimate is short)
         scan_hint = max_records * (ws.est_rec_bytes + 16)
+    # L is the chunk's TIGHT row stride (caller's running l_max estimate,
+    # grown below if this chunk proves longer) — NOT the reusable
+    # buffer's width: a pooled workspace that once held long reads must
+    # not widen every later chunk's rows (wire bytes are the TPU path's
+    # binding cost).  Rows are packed at stride L into the workspace's
+    # flat storage and viewed as [B, L].
     L = _round_up(max(l_max or 0, 1), len_multiple)
     ws.ensure(max_records, L, batch_multiple)
+
+    def row_views(n_rows):
+        q = ws.qual.reshape(-1)[: n_rows * L].reshape(n_rows, L)
+        s = (ws.seq.reshape(-1)[: n_rows * L].reshape(n_rows, L)
+             if need_seq else q)
+        return s, q
 
     n_out = np.zeros(1, np.int64)
     max_len = np.zeros(1, np.int64)
@@ -443,7 +455,7 @@ def _pack_fastq_native(
     for _attempt in range(2):
         rc = lib.sk_parse_pack2(
             native.ptr(arr, ctypes.c_uint8), arr.size, max_records, scan_hint,
-            ws.L,
+            L,
             native.ptr(ws.starts4, ctypes.c_int64),
             native.ptr(ws.lens4, ctypes.c_int32),
             native.ptr(ws.seq, ctypes.c_uint8),
@@ -464,14 +476,14 @@ def _pack_fastq_native(
         # callers (consumed-byte contract) also shrink the record count so
         # the retried batch honors the byte budget — the remainder simply
         # lands in the next chunk (long reads discovered mid-stream).
-        grown_L = _round_up(int(max_len[0]), len_multiple)
+        L = _round_up(int(max_len[0]), len_multiple)
         if shrink_records and batch_bytes:
             # even count: pe interleaved chunks must hold whole pairs
             max_records = min(max_records,
-                              max(8, batch_bytes // grown_L) & ~1)
-            batch_multiple = _clamp_bm(batch_multiple, max_records, grown_L,
+                              max(8, batch_bytes // L) & ~1)
+            batch_multiple = _clamp_bm(batch_multiple, max_records, L,
                                        batch_bytes)
-        ws.ensure(max_records, grown_L, batch_multiple)
+        ws.ensure(max_records, L, batch_multiple)
     else:
         raise AssertionError("native pack failed to size rows")
 
@@ -479,20 +491,21 @@ def _pack_fastq_native(
     if n:
         last = int(ws.starts4[4 * n - 1]) + int(ws.lens4[4 * n - 1])
         ws.est_rec_bytes = max(ws.est_rec_bytes, -(-last // n))
-    B = _round_up(max(n, 1), _clamp_bm(batch_multiple, n, ws.L, batch_bytes))
+    B = _round_up(max(n, 1), _clamp_bm(batch_multiple, n, L, batch_bytes))
+    seq_v, qual_v = row_views(B)
     if n < B:
         # padding rows must read as empty — including stale bytes from a
         # previous (fuller) chunk in this reused workspace, so the TPU
         # path's derive-lengths-from-zero-padding invariant holds on the
         # ragged final chunk too
         ws.lengths[n:B] = 0
-        ws.qual[n:B] = 0
+        qual_v[n:B] = 0
     starts4 = ws.starts4[: 4 * n].reshape(n, 4)
     lens4 = ws.lens4[: 4 * n].reshape(n, 4)
     return PackedReads(
         data=arr,
-        seq=ws.seq[:B],
-        qual=ws.qual[:B],
+        seq=seq_v,
+        qual=qual_v,
         lengths=ws.lengths[:B],
         name_start=starts4[:, 0],
         name_len=lens4[:, 0],
