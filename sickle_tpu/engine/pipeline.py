@@ -1125,12 +1125,19 @@ def run_pe(
                         (pk1.qual.nbytes + pk2.qual.nbytes) * mul):
                 r1 = cuts_fn(pk1.seq, pk1.qual, pk1.lengths,
                              qual_clean=pk1.qual_clean)
+                h2d = getattr(cuts_fn, "last_h2d", pk1.qual.nbytes * mul)
                 r2 = cuts_fn(pk2.seq, pk2.qual, pk2.lengths,
                              qual_clean=pk2.qual_clean)
+                h2d += getattr(cuts_fn, "last_h2d", pk2.qual.nbytes * mul)
+            if mtr is not None:  # actual wire bytes (e.g. bit-plane format)
+                mtr.h2d_bytes[-1] = h2d
             return packed, n1, (r1, r2)
         with _stage(mtr, "dispatch", packed.qual.nbytes * mul):
             result = cuts_fn(packed.seq, packed.qual, packed.lengths,
                              qual_clean=packed.qual_clean)
+        if mtr is not None:
+            mtr.h2d_bytes[-1] = getattr(cuts_fn, "last_h2d",
+                                        packed.qual.nbytes * mul)
         return packed, n1, result
 
     def finalize(item):
