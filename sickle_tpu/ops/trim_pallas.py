@@ -36,9 +36,13 @@ from ..constants import Compat, QUALITY_CONSTANTS
 from .trim import BIG, TrimParams
 
 
-def _first_col(mask, iota):
-    """Smallest lane index where mask is true, else BIG; [TB, 1] column."""
-    return jnp.min(jnp.where(mask, iota, BIG), axis=1, keepdims=True)
+I16_BIG = 32000  # > any lane index at i16-eligible L; fits int16
+
+
+def _first_col(mask, iota, big=BIG):
+    """Smallest lane index where mask is true, else ``big``; [TB, 1] column."""
+    return jnp.min(jnp.where(mask, iota, jnp.asarray(big, iota.dtype)),
+                   axis=1, keepdims=True)
 
 
 def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
@@ -47,18 +51,26 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
     t = params.qual_threshold
     lthr = params.length_threshold
 
-    lens = len_ref[:].astype(jnp.int32)  # [TB, 1]
+    # compute dtype: every intermediate (prefix sums <= L*93, t*lane
+    # <= t*L, lane indices) fits int16 at short-read L — halving VMEM
+    # traffic and vector slots on the VPU's 32-bit lanes
+    use_i16 = L * 93 < I16_BIG and t * (L + 1) < I16_BIG
+    cdt = jnp.int16 if use_i16 else jnp.int32
+    big = I16_BIG if use_i16 else BIG
+
+    lens = len_ref[:].astype(cdt)  # [TB, 1]
     TB = lens.shape[0]
-    raw = qual_ref[:].astype(jnp.int32)  # [TB, L]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, L), 1)
+    raw = qual_ref[:].astype(cdt)  # [TB, L]
+    lane = jax.lax.broadcasted_iota(cdt, (TB, L), 1)
     in_read = lane < lens
 
     # quality range check (strict whole-read; see ops/trim.py docstring)
     badm = in_read & ((raw < qmin) | (raw > qmax))
-    bad_ref[:] = _first_col(badm, lane)
+    badcol = _first_col(badm, lane, big)
+    bad_ref[:] = jnp.where(badcol == big, BIG, badcol.astype(jnp.int32))
 
-    q = raw - offset
-    qv = jnp.where(in_read, q, 0)
+    q = raw - jnp.asarray(offset, cdt)
+    qv = jnp.where(in_read, q, jnp.asarray(0, cdt))
 
     w = lens // 10
     w = jnp.where(w == 0, lens, w)
@@ -75,7 +87,8 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
     # the prefix count min(j+1, len), so integer semantics are unchanged.
     if L <= 2048:
         base = min(qmin - offset, 0)
-        qnn = qv - jnp.where(in_read, base, 0) if base else qv
+        qnn = qv - jnp.where(in_read, jnp.asarray(base, cdt),
+                             jnp.asarray(0, cdt)) if base else qv
         tri = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
                <= jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
                ).astype(jnp.bfloat16)
@@ -84,9 +97,9 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
                                  preferred_element_type=jnp.float32)
         cl = jax.lax.dot_general((qnn & 15).astype(jnp.bfloat16), tri, dn,
                                  preferred_element_type=jnp.float32)
-        csum = (16.0 * ch + cl).astype(jnp.int32)
+        csum = (16.0 * ch + cl).astype(cdt)
         if base:
-            csum = csum + base * jnp.minimum(lane + 1, lens)
+            csum = csum + jnp.asarray(base, cdt) * jnp.minimum(lane + 1, lens)
     else:
         # long reads: the L x L triangle no longer fits VMEM — fall back
         # to the Hillis-Steele log-shift scan (O(L log L) VPU work, no
@@ -100,8 +113,8 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
             s <<= 1
     c_excl = csum - qv  # C[j] = sum q[0..j-1]
     total = csum[:, L - 1 : L]  # C[TB, 1]
-    d = c_excl - t * lane  # D[j], j in [0, L)
-    d_last = total - t * L  # D[L], [TB, 1]
+    d = c_excl - jnp.asarray(t, cdt) * lane  # D[j], j in [0, L)
+    d_last = total - jnp.asarray(t * L, cdt)  # D[L], [TB, 1]
 
     # D[i + w] by binary decomposition of the per-row shift: compose
     # conditional STATIC rotates by powers of two (hardware circular
@@ -127,39 +140,40 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
     hi = i_valid & (dw >= d)
     lo = i_valid & (dw < d)
 
-    i5 = _first_col(hi, ii)  # [TB, 1]
-    found_five = (i5 < BIG) & (lens > 0)
+    i5 = _first_col(hi, ii, big)  # [TB, 1]
+    found_five = (i5 < big) & (lens > 0)
 
     start3 = jnp.zeros_like(i5) if params.no_fiveprime else i5
-    i3 = _first_col(lo & (ii >= start3), ii)
-    three_trig = i3 < BIG
+    i3 = _first_col(lo & (ii >= start3), ii, big)
+    three_trig = i3 < big
 
     if params.no_fiveprime:
         five = jnp.zeros_like(i5)
     else:
-        five = _first_col(in_read & (q >= t) & (lane >= i5), lane)
-        five = jnp.where(found_five, jnp.minimum(five, lens), 0)
+        five = _first_col(in_read & (q >= t) & (lane >= i5), lane, big)
+        five = jnp.where(found_five, jnp.minimum(five, lens),
+                         jnp.asarray(0, cdt))
 
-    three_hit = _first_col(in_read & (q < t) & (lane >= i3), lane)
+    three_hit = _first_col(in_read & (q < t) & (lane >= i3), lane, big)
     three = jnp.where(three_trig, jnp.minimum(three_hit, lens), lens)
 
     if params.trunc_n:
         # widen before comparing: Mosaic has no u8 vector compare on v5e
-        sq = seq_ref[:].astype(jnp.int32)
-        up = _first_col(in_read & (sq == ord("N")), lane)
-        low = _first_col(in_read & (sq == ord("n")), lane)
+        sq = seq_ref[:].astype(cdt)
+        up = _first_col(in_read & (sq == ord("N")), lane, big)
+        low = _first_col(in_read & (sq == ord("n")), lane, big)
         if params.compat == Compat.V133:
-            nidx = jnp.where(up < BIG, up, low)
+            nidx = jnp.where(up < big, up, low)
         else:
-            nidx = jnp.where(low < BIG, low, up)
-        three = jnp.where(nidx < BIG, nidx - 1, three)
+            nidx = jnp.where(low < big, low, up)
+        three = jnp.where(nidx < big, nidx - 1, three)
 
     keep = (lens >= lthr) & (three - five >= lthr) & (lens > 0)
     if not params.no_fiveprime:
         keep &= found_five
 
-    five_ref[:] = jnp.where(keep, five, -1)
-    three_ref[:] = jnp.where(keep, three, -1)
+    five_ref[:] = jnp.where(keep, five, -1).astype(jnp.int32)
+    three_ref[:] = jnp.where(keep, three, -1).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "tile_b", "interpret"))
