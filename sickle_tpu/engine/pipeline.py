@@ -57,24 +57,31 @@ _SENTINEL = object()
 
 
 def _adapt_cuts_fn(fn: CutsFn) -> Callable:
-    """Normalize a cuts fn to the 4-arg form (seq, qual, lengths, qual_clean).
+    """Normalize a cuts fn to the kwarg-accepting form
+    (seq, qual, lengths, qual_clean=..., wire=...).
 
     ``qual_clean=True`` tells backend-aware fns the packer proved the
-    zero-padding invariant (PackedReads.qual_clean), skipping any rescan.
-    Plain 3-arg fns (tests, custom backends) are wrapped to ignore it.
+    zero-padding invariant (PackedReads.qual_clean), skipping any rescan;
+    ``wire`` carries producer-thread-prepared wire payloads (bit-planes).
+    Plain 3-arg fns (tests, custom backends) are wrapped to ignore both.
     """
     import inspect
 
     try:
         sig = inspect.signature(fn)
-        if "qual_clean" in sig.parameters or any(
+        if "wire" in sig.parameters or any(
             p.kind == inspect.Parameter.VAR_KEYWORD
             for p in sig.parameters.values()
         ):
             return fn
+        if "qual_clean" in sig.parameters:
+            return lambda seq, qual, lengths, qual_clean=False, wire=None: fn(
+                seq, qual, lengths, qual_clean=qual_clean)
     except (TypeError, ValueError):
         pass
-    return lambda seq, qual, lengths, qual_clean=False: fn(seq, qual, lengths)
+    wrapped = lambda seq, qual, lengths, qual_clean=False, wire=None: fn(  # noqa: E731
+        seq, qual, lengths)
+    return wrapped
 
 
 class _Cancelled(BaseException):
@@ -388,7 +395,48 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
             else:
                 rows //= 2
 
-    def fn(seq, qual, lengths, qual_clean=False):
+    def _planes_bias(qual, qual_clean, B):
+        """Bit-plane wire eligibility (per chunk, data-dependent): the
+        whole chunk's chars must fit the encoding's range (=> the range
+        check cannot fire; out-of-range chunks take the raw path whose
+        device check preserves the reference's error semantics) AND a
+        6-bit band above bias = min - 1 (real data: ~40 distinct chars).
+        Returns the bias char, or -1 for ineligible."""
+        if (needs_seq or no_planes or not qual_clean or B % 8
+                or qual.shape[1] % 8 or qual.shape[1] >= MAX_PACKED_L
+                or (mesh is not None and B % SL)):
+            return -1
+        mn, mx = qual_minmax(qual)
+        if (mn != 255 and mn >= enc_qmin and mx <= enc_qmax
+                and mx - (mn - 1) < (1 << QUAL_PLANES)):
+            return mn - 1
+        return -1
+
+    def _pieces(B):
+        # full slices, then the pow2-padded ragged tail (_clamp_bm) as
+        # descending power-of-two pieces — every piece hits a
+        # warmup_aot-precompiled executable on the qual-only path instead
+        # of the explicit fallback (+lengths wire, inline compile mid-pass)
+        i = 0
+        while i < B:
+            rem = B - i
+            n = SL if rem >= SL else 1 << (rem.bit_length() - 1)
+            yield i, n
+            i += n
+
+    def prepare(packed):
+        """Producer-thread wire prep: pack the chunk's bit-planes OFF the
+        dispatch thread (overlaps the previous chunk's device RPCs).
+        Stores (bias, [per-piece planes]) on ``packed.wire``."""
+        qual = packed.qual
+        bias = _planes_bias(qual, packed.qual_clean, qual.shape[0])
+        if bias < 0:
+            packed.wire = None
+            return
+        packed.wire = (bias, [qual_bitplanes(qual[i : i + n], bias)
+                              for i, n in _pieces(qual.shape[0])])
+
+    def fn(seq, qual, lengths, qual_clean=False, wire=None):
         lengths = np.asarray(lengths)
         B = qual.shape[0]
         if n_mesh > 1 and B % n_mesh:
@@ -401,6 +449,7 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
                 seq = np.pad(seq, ((0, pad), (0, 0)))
             lengths = np.pad(lengths, (0, pad))
             B += pad
+            wire = None
         # padding-derivation invariant: zero bytes in `qual` are exactly
         # the padding — proven by the packer (PackedReads.qual_clean).
         # (A NUL inside a read is an invalid quality char; route through
@@ -414,49 +463,35 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
                  else step_explicit_q(put2(qual), put1(lengths)))
             return _PendingCuts([], [r])
 
-        # bit-plane wire eligibility (per chunk, data-dependent): the
-        # whole chunk's chars must fit the encoding's range (=> the range
-        # check cannot fire; out-of-range chunks take the raw path whose
-        # device check preserves the reference's error semantics) AND a
-        # 6-bit band above bias = min - 1 (real data: ~40 distinct chars)
-        bias = -1
-        if (not needs_seq and not no_planes and qual.shape[1] % 8 == 0
-                and qual.shape[1] < MAX_PACKED_L):
-            mn, mx = qual_minmax(qual)
-            if (mn != 255 and mn >= enc_qmin and mx <= enc_qmax
-                    and mx - (mn - 1) < (1 << QUAL_PLANES)):
-                bias = mn - 1
+        if wire is not None:
+            bias, planes_list = wire
+        else:
+            bias = _planes_bias(qual, qual_clean, B)
+            planes_list = None
         futs: list = []
         outs: list = []
-        i = 0
         h2d = 0
-        while i < B:
-            rem = B - i
-            # full slices, then the pow2-padded ragged tail (_clamp_bm)
-            # as descending power-of-two pieces — every piece hits a
-            # warmup_aot-precompiled executable on the qual-only path
-            # instead of the explicit fallback (+lengths wire, inline
-            # compile mid-pass)
-            n = SL if rem >= SL else 1 << (rem.bit_length() - 1)
+        for k, (i, n) in enumerate(_pieces(B)):
             if needs_seq:
                 futs.append(step_sq(put3(
                     np.stack([seq[i : i + n], qual[i : i + n]]))))
                 h2d += 2 * n * qual.shape[1]
             elif bias >= 0:
-                planes = qual_bitplanes(qual[i : i + n], bias)
+                planes = (planes_list[k] if planes_list is not None
+                          else qual_bitplanes(qual[i : i + n], bias))
                 futs.append(step_planes(
                     put3(planes), put0(np.int32(bias - enc_offset))))
                 h2d += planes.nbytes + 4
             else:
                 futs.append(step_q(put2(qual[i : i + n])))
                 h2d += n * qual.shape[1]
-            i += n
             if len(futs) > inflight:
                 outs.append(np.asarray(futs.pop(0)))
         fn.last_h2d = h2d
         return _PendingCuts(outs, futs)
 
     fn.warmup_aot = warmup_aot
+    fn.prepare = prepare
     fn.lazy = True  # returns _PendingCuts; fetch deferred to the window
     return fn
 
@@ -746,6 +781,7 @@ def run_se(
     """
     cfg = cfg or EngineConfig()
     cuts_fn = _adapt_cuts_fn(cuts_fn or default_cuts_fn(params, cfg))
+    prep = getattr(cuts_fn, "prepare", None)
     # lazy cuts fns defer the result fetch so chunk i+1's dispatch
     # overlaps chunk i's device compute/D2H (one extra in-flight chunk,
     # hence one extra workspace); SICKLE_TPU_WINDOW=0 restores strictly
@@ -790,6 +826,8 @@ def run_se(
                 state["consumed"] += packed.n_records
                 state["l_max"] = max(state["l_max"], packed.max_len)
                 state["est"] = max(state["est"], -(-consumed // packed.n_records))
+                if prep is not None:
+                    prep(packed)  # wire prep off the dispatch thread
                 pipe.pack_q.put(packed)
             return
         for chunk in iter_record_chunks(
@@ -812,6 +850,8 @@ def run_se(
                 mtr.add_chunk(packed.n_records, len(chunk))
             state["consumed"] += packed.n_records
             state["l_max"] = max(state["l_max"], packed.max_len)
+            if prep is not None:
+                prep(packed)  # wire prep off the dispatch thread
             pipe.pack_q.put(packed)
 
     def dispatcher(packed: PackedReads):
@@ -822,7 +862,7 @@ def run_se(
         h2d = packed.qual.nbytes * (2 if params.trunc_n else 1)
         with _stage(mtr, "dispatch", h2d):
             result = cuts_fn(packed.seq, packed.qual, packed.lengths,
-                             qual_clean=packed.qual_clean)
+                             qual_clean=packed.qual_clean, wire=packed.wire)
         if mtr is not None:  # actual wire bytes (e.g. bit-plane format)
             mtr.h2d_bytes[-1] = getattr(cuts_fn, "last_h2d", h2d)
         return packed, result
@@ -934,6 +974,7 @@ def run_pe(
     """
     cfg = cfg or EngineConfig()
     cuts_fn = _adapt_cuts_fn(cuts_fn or default_cuts_fn(params, cfg))
+    prep = getattr(cuts_fn, "prepare", None)
     window = (int(os.environ.get("SICKLE_TPU_WINDOW", "1"))
               if getattr(cuts_fn, "lazy", False) else 0)  # see run_se
     # two-file runs check out one workspace per mate file per chunk
@@ -980,6 +1021,8 @@ def run_pe(
                 "to load. Maybe it's not an interleaved file?"
             )
         state["consumed"] += packed.n_records
+        if prep is not None:
+            prep(packed)  # wire prep off the dispatch thread
         pipe.pack_q.put((packed, None))
 
     def producer():
@@ -1046,6 +1089,8 @@ def run_pe(
                         "Batch2 and Batch1 have different lengths, exiting"
                     )
                 state["consumed"] += packed.n_records
+                if prep is not None:
+                    prep(packed)
                 pipe.pack_q.put((packed, n1))
 
     def _produce_two_file_mmap(m1, m2):
@@ -1113,6 +1158,9 @@ def run_pe(
                 mtr.add_chunk(2 * n1, c1 + c2)
             pos += n1
             state["consumed"] += 2 * n1
+            if prep is not None:
+                prep(pk1)
+                prep(pk2)
             pipe.pack_q.put(((pk1, pk2), None))
 
     def dispatcher(item):
@@ -1124,17 +1172,17 @@ def run_pe(
             with _stage(mtr, "dispatch",
                         (pk1.qual.nbytes + pk2.qual.nbytes) * mul):
                 r1 = cuts_fn(pk1.seq, pk1.qual, pk1.lengths,
-                             qual_clean=pk1.qual_clean)
+                             qual_clean=pk1.qual_clean, wire=pk1.wire)
                 h2d = getattr(cuts_fn, "last_h2d", pk1.qual.nbytes * mul)
                 r2 = cuts_fn(pk2.seq, pk2.qual, pk2.lengths,
-                             qual_clean=pk2.qual_clean)
+                             qual_clean=pk2.qual_clean, wire=pk2.wire)
                 h2d += getattr(cuts_fn, "last_h2d", pk2.qual.nbytes * mul)
             if mtr is not None:  # actual wire bytes (e.g. bit-plane format)
                 mtr.h2d_bytes[-1] = h2d
             return packed, n1, (r1, r2)
         with _stage(mtr, "dispatch", packed.qual.nbytes * mul):
             result = cuts_fn(packed.seq, packed.qual, packed.lengths,
-                             qual_clean=packed.qual_clean)
+                             qual_clean=packed.qual_clean, wire=packed.wire)
         if mtr is not None:
             mtr.h2d_bytes[-1] = getattr(cuts_fn, "last_h2d",
                                         packed.qual.nbytes * mul)

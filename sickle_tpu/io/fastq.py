@@ -87,6 +87,9 @@ class PackedReads:
     # byte, i.e. zero bytes in ``qual`` are exactly the padding — the
     # invariant the TPU path needs to derive lengths on device.
     qual_clean: bool = False
+    # producer-thread-prepared wire payload (engine cuts_fn.prepare):
+    # (bias, [per-slice bit-plane arrays]) or None for raw rows
+    wire: Optional[tuple] = None
 
     @property
     def batch_size(self) -> int:

@@ -36,13 +36,18 @@ from ..constants import Compat, QUALITY_CONSTANTS
 from .trim import BIG, TrimParams
 
 
-I16_BIG = 32000  # > any lane index at i16-eligible L; fits int16
+def _first_col(mask, iota):
+    """Smallest lane index where mask is true, else BIG; [TB, 1] column."""
+    return jnp.min(jnp.where(mask, iota, BIG), axis=1, keepdims=True)
 
 
-def _first_col(mask, iota, big=BIG):
-    """Smallest lane index where mask is true, else ``big``; [TB, 1] column."""
-    return jnp.min(jnp.where(mask, iota, jnp.asarray(big, iota.dtype)),
-                   axis=1, keepdims=True)
+def _trim_kernel_noseq(qual_ref, len_ref, five_ref, three_ref, bad_ref,
+                       *, params: TrimParams, L: int, wmax: int):
+    # without -n the sequence bytes are never read; omitting the input
+    # entirely halves the kernel's HBM traffic (a passed-but-unread
+    # block is still DMA'd into VMEM every grid step)
+    _trim_kernel(None, qual_ref, len_ref, five_ref, three_ref, bad_ref,
+                 params=params, L=L, wmax=wmax)
 
 
 def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
@@ -51,26 +56,18 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
     t = params.qual_threshold
     lthr = params.length_threshold
 
-    # compute dtype: every intermediate (prefix sums <= L*93, t*lane
-    # <= t*L, lane indices) fits int16 at short-read L — halving VMEM
-    # traffic and vector slots on the VPU's 32-bit lanes
-    use_i16 = L * 93 < I16_BIG and t * (L + 1) < I16_BIG
-    cdt = jnp.int16 if use_i16 else jnp.int32
-    big = I16_BIG if use_i16 else BIG
-
-    lens = len_ref[:].astype(cdt)  # [TB, 1]
+    lens = len_ref[:].astype(jnp.int32)  # [TB, 1]
     TB = lens.shape[0]
-    raw = qual_ref[:].astype(cdt)  # [TB, L]
-    lane = jax.lax.broadcasted_iota(cdt, (TB, L), 1)
+    raw = qual_ref[:].astype(jnp.int32)  # [TB, L]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, L), 1)
     in_read = lane < lens
 
     # quality range check (strict whole-read; see ops/trim.py docstring)
     badm = in_read & ((raw < qmin) | (raw > qmax))
-    badcol = _first_col(badm, lane, big)
-    bad_ref[:] = jnp.where(badcol == big, BIG, badcol.astype(jnp.int32))
+    bad_ref[:] = _first_col(badm, lane)
 
-    q = raw - jnp.asarray(offset, cdt)
-    qv = jnp.where(in_read, q, jnp.asarray(0, cdt))
+    q = raw - offset
+    qv = jnp.where(in_read, q, 0)
 
     w = lens // 10
     w = jnp.where(w == 0, lens, w)
@@ -87,8 +84,7 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
     # the prefix count min(j+1, len), so integer semantics are unchanged.
     if L <= 2048:
         base = min(qmin - offset, 0)
-        qnn = qv - jnp.where(in_read, jnp.asarray(base, cdt),
-                             jnp.asarray(0, cdt)) if base else qv
+        qnn = qv - jnp.where(in_read, base, 0) if base else qv
         tri = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
                <= jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
                ).astype(jnp.bfloat16)
@@ -97,9 +93,9 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
                                  preferred_element_type=jnp.float32)
         cl = jax.lax.dot_general((qnn & 15).astype(jnp.bfloat16), tri, dn,
                                  preferred_element_type=jnp.float32)
-        csum = (16.0 * ch + cl).astype(cdt)
+        csum = (16.0 * ch + cl).astype(jnp.int32)
         if base:
-            csum = csum + jnp.asarray(base, cdt) * jnp.minimum(lane + 1, lens)
+            csum = csum + base * jnp.minimum(lane + 1, lens)
     else:
         # long reads: the L x L triangle no longer fits VMEM — fall back
         # to the Hillis-Steele log-shift scan (O(L log L) VPU work, no
@@ -113,8 +109,8 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
             s <<= 1
     c_excl = csum - qv  # C[j] = sum q[0..j-1]
     total = csum[:, L - 1 : L]  # C[TB, 1]
-    d = c_excl - jnp.asarray(t, cdt) * lane  # D[j], j in [0, L)
-    d_last = total - jnp.asarray(t * L, cdt)  # D[L], [TB, 1]
+    d = c_excl - t * lane  # D[j], j in [0, L)
+    d_last = total - t * L  # D[L], [TB, 1]
 
     # D[i + w] by binary decomposition of the per-row shift: compose
     # conditional STATIC rotates by powers of two (hardware circular
@@ -140,40 +136,39 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
     hi = i_valid & (dw >= d)
     lo = i_valid & (dw < d)
 
-    i5 = _first_col(hi, ii, big)  # [TB, 1]
-    found_five = (i5 < big) & (lens > 0)
+    i5 = _first_col(hi, ii)  # [TB, 1]
+    found_five = (i5 < BIG) & (lens > 0)
 
     start3 = jnp.zeros_like(i5) if params.no_fiveprime else i5
-    i3 = _first_col(lo & (ii >= start3), ii, big)
-    three_trig = i3 < big
+    i3 = _first_col(lo & (ii >= start3), ii)
+    three_trig = i3 < BIG
 
     if params.no_fiveprime:
         five = jnp.zeros_like(i5)
     else:
-        five = _first_col(in_read & (q >= t) & (lane >= i5), lane, big)
-        five = jnp.where(found_five, jnp.minimum(five, lens),
-                         jnp.asarray(0, cdt))
+        five = _first_col(in_read & (q >= t) & (lane >= i5), lane)
+        five = jnp.where(found_five, jnp.minimum(five, lens), 0)
 
-    three_hit = _first_col(in_read & (q < t) & (lane >= i3), lane, big)
+    three_hit = _first_col(in_read & (q < t) & (lane >= i3), lane)
     three = jnp.where(three_trig, jnp.minimum(three_hit, lens), lens)
 
     if params.trunc_n:
         # widen before comparing: Mosaic has no u8 vector compare on v5e
-        sq = seq_ref[:].astype(cdt)
-        up = _first_col(in_read & (sq == ord("N")), lane, big)
-        low = _first_col(in_read & (sq == ord("n")), lane, big)
+        sq = seq_ref[:].astype(jnp.int32)
+        up = _first_col(in_read & (sq == ord("N")), lane)
+        low = _first_col(in_read & (sq == ord("n")), lane)
         if params.compat == Compat.V133:
-            nidx = jnp.where(up < big, up, low)
+            nidx = jnp.where(up < BIG, up, low)
         else:
-            nidx = jnp.where(low < big, low, up)
-        three = jnp.where(nidx < big, nidx - 1, three)
+            nidx = jnp.where(low < BIG, low, up)
+        three = jnp.where(nidx < BIG, nidx - 1, three)
 
     keep = (lens >= lthr) & (three - five >= lthr) & (lens > 0)
     if not params.no_fiveprime:
         keep &= found_five
 
-    five_ref[:] = jnp.where(keep, five, -1).astype(jnp.int32)
-    three_ref[:] = jnp.where(keep, three, -1).astype(jnp.int32)
+    five_ref[:] = jnp.where(keep, five, -1)
+    three_ref[:] = jnp.where(keep, three, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("params", "tile_b", "interpret"))
@@ -186,13 +181,21 @@ def compute_cuts_pallas(seq, qual, lengths, params: TrimParams,
         raise ValueError(f"batch {B} not divisible by tile_b {tile_b}")
     wmax = max(9, L // 10)
     grid = (B // tile_b,)
-    kernel = functools.partial(_trim_kernel, params=params, L=L, wmax=wmax)
     row_spec = pl.BlockSpec((tile_b, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if params.trunc_n:
+        kernel = functools.partial(_trim_kernel, params=params, L=L, wmax=wmax)
+        in_specs = [row_spec, row_spec, col_spec]
+        args = (seq, qual, lengths.astype(jnp.int32).reshape(B, 1))
+    else:
+        kernel = functools.partial(_trim_kernel_noseq, params=params, L=L,
+                                   wmax=wmax)
+        in_specs = [row_spec, col_spec]
+        args = (qual, lengths.astype(jnp.int32).reshape(B, 1))
     five, three, bad = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[row_spec, row_spec, col_spec],
+        in_specs=in_specs,
         out_specs=(col_spec, col_spec, col_spec),
         out_shape=(
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
@@ -200,5 +203,5 @@ def compute_cuts_pallas(seq, qual, lengths, params: TrimParams,
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(seq, qual, lengths.astype(jnp.int32).reshape(B, 1))
+    )(*args)
     return five[:, 0], three[:, 0], bad[:, 0]
