@@ -72,7 +72,7 @@ def measured_pass(name, n_units, run, min_rate, make_cfg):
     from sickle_tpu.utils.metrics import Metrics
 
     attempts = []
-    for attempt in range(2):
+    for attempt in range(3):
         cfg = make_cfg()
         cfg.metrics = m = Metrics()
         t0 = time.perf_counter()
@@ -93,8 +93,8 @@ def measured_pass(name, n_units, run, min_rate, make_cfg):
             m.report()
         if not (stalled or slow):
             break
-        if attempt == 0 and _time_left() > 120:
-            log(f"{name}: pass contaminated — settling once and retrying")
+        if attempt < 2 and _time_left() > 180:
+            log(f"{name}: pass contaminated — settling and retrying")
             _settle_link(max_wait=min(600.0, _time_left() - 60))
         else:
             break
@@ -292,24 +292,26 @@ def main():
 
 
 def _settle_link(max_wait=None):
-    """Wait (bounded) for the shared tunneled-TPU link to drain before a
-    one-pass measurement.
+    """Sense the shared tunneled-TPU link's regime before a one-pass
+    measurement — and prefer the STABLE regime over the fast one.
 
-    Two-stage sensing.  Lessons encoded here, each from a recorded
-    failure:
-    * round 2: a 128-int32 probe said "fast window" while the 45 MB pass
-      stalled 962 s — per-RPC latency says nothing about the
-      cumulative-BYTE budget;
-    * round 3: a 1 MB zeros probe cleared at 1.0 ms and the very next
-      4.8 MB chunk fetch stalled 760 s.  Two fixes: the canary must be
-      (a) INCOMPRESSIBLE — zeros may ride tunnel compression and spend
-      no real budget — and (b) the SAME SIZE as a real chunk transfer,
-      so the budget boundary cannot sit between probe and pass.
-    Stage 1 (cheap KB probe) polls for the per-RPC fine regime; only
-    when RPCs are sub-5 ms does stage 2 spend one slice-sized random
-    canary, requiring >=100 MB/s.  Canary attempts are capped: each
-    costs real budget, and burning the budget while probing it defeats
-    the point.  Bounded by SICKLE_BENCH_SETTLE seconds (0 disables)."""
+    Empirical model, each rule from a recorded failure:
+    * THROTTLE (KB probes 5-80 ms) is the stable regime: every measured
+      pass taken there completed clean at the throttle byte rate
+      (r3 logs: 226-257k reads/s).  Proceed IMMEDIATELY — draining
+      toward "fast" spends wall clock and never upgraded the regime.
+    * A fast KB probe plus ONE fast canary repeatedly preceded
+      multi-minute mid-pass stalls (4334 MB/s canary -> 760 s chunk
+      stall; 1530 MB/s -> 1087 s; 531 MB/s -> stall): the burst budget
+      is often barely one canary deep, and the canary itself drains it.
+      "Fast" is therefore only trusted after TWO canaries, spaced
+      ~15 s, BOTH clear >=100 MB/s — a genuinely refilled window passes
+      both; a mirage fails the second (or the pass lands in throttle
+      and still completes).
+    * Canaries are slice-sized random payloads — a zeros probe can ride
+      tunnel compression and spend no real budget (the round-2 962 s
+      stall behind a 0.4 ms KB probe).
+    Bounded by SICKLE_BENCH_SETTLE seconds (0 disables)."""
     import jax
     import numpy as np
 
@@ -325,42 +327,46 @@ def _settle_link(max_wait=None):
     canary = rng.integers(33, 105, (canary_rows, 152), dtype=np.int32
                           ).astype(np.uint8)  # qual-like, incompressible-ish
     canary_s_ok = canary.size / (100e6)  # >=100 MB/s
-    canaries_left = int(os.environ.get("SICKLE_BENCH_CANARY_MAX", "5"))
+    canaries_left = int(os.environ.get("SICKLE_BENCH_CANARY_MAX", "4"))
     start = time.time()
-    stage = 0
+    fast_streak = 0
     while True:
         t0 = time.perf_counter()
-        if stage == 0:
-            jax.block_until_ready(probe(small))
-        else:
-            canaries_left -= 1
-            jax.block_until_ready(probe(canary))
+        jax.block_until_ready(probe(small))
         dt = time.perf_counter() - t0
         waited = time.time() - start
-        if stage == 0:
-            if dt < 0.005 and canaries_left > 0:
-                log(f"link probe {dt * 1e3:.1f} ms (fast RPC) — "
-                    "spending a slice-size canary")
-                stage = 1
-                continue
-            if dt < 0.05 and (waited > max_wait / 2 or canaries_left <= 0):
-                log(f"link probe {dt * 1e3:.0f} ms (throttle regime) — "
-                    "settle budget spent, proceeding")
-                return
-        else:
-            mbps = canary.size / dt / 1e6
-            if dt < canary_s_ok:
-                log(f"canary {canary.size >> 20} MB in {dt * 1e3:.1f} ms "
-                    f"({mbps:.0f} MB/s) — byte regime healthy, proceeding")
-                return
-            log(f"canary {mbps:.0f} MB/s — byte budget still cold "
-                f"({canaries_left} canaries left)")
-            stage = 0
-        if waited > max_wait:
-            log("probe still slow at settle deadline — proceeding anyway")
+        if 0.005 <= dt < 0.08:
+            log(f"link probe {dt * 1e3:.0f} ms — stable throttle regime, "
+                "proceeding")
             return
-        if stage == 0 and dt >= 0.005:
-            log(f"link probe {dt * 1e3:.0f} ms — letting the link drain...")
+        if dt < 0.005:
+            if canaries_left <= 0:
+                log("fast RPCs but no canaries left — proceeding")
+                return
+            canaries_left -= 1
+            t0 = time.perf_counter()
+            jax.block_until_ready(probe(canary))
+            cdt = time.perf_counter() - t0
+            mbps = canary.size / cdt / 1e6
+            if cdt < canary_s_ok:
+                fast_streak += 1
+                if fast_streak >= 2:
+                    log(f"canary {mbps:.0f} MB/s twice — fast window "
+                        "confirmed, proceeding")
+                    return
+                log(f"canary {mbps:.0f} MB/s — confirming with a second "
+                    "canary in 15 s")
+                time.sleep(15)
+                continue
+            fast_streak = 0
+            log(f"canary {mbps:.0f} MB/s — byte budget cold "
+                f"({canaries_left} canaries left)")
+        else:
+            fast_streak = 0
+            log(f"link probe {dt * 1e3:.0f} ms — deep penalty, draining...")
+        if waited > max_wait:
+            log("settle deadline — proceeding in current state")
+            return
         time.sleep(20)
 
 
