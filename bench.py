@@ -16,16 +16,18 @@ this container): se ~300k reads/s; gzip-in ~400k reads/s (100k reads in
 
 Methodology (round 3, after the round-2 962 s stall, VERDICT.md item 1):
 * zero-wire AOT warmup (lower().compile(), no device RPCs);
-* settle loop that senses BOTH per-RPC latency (KB probe) and the
-  cumulative-byte regime (1 MB probe) before measuring;
+* KB-probe settle that proceeds in either STABLE regime — sub-5 ms
+  (fast RPC) or 5-80 ms (throttle) — and only drains a deep penalty
+  box; no byte canaries (see _settle_link: every canary design tried
+  spent the burst budget the pass needed and still preceded a stall);
 * every measured pass runs with per-chunk stage Metrics; a pass is
   CONTAMINATED if one chunk's device time is a >=20x outlier over the
   chunk median (utils.metrics.Metrics.stalled) or the whole-pass rate
   falls below SICKLE_BENCH_MIN_RATE (a deep-penalty-box link, where no
   outlier stands out because every chunk is slow);
-* a contaminated pass gets ONE bounded settle-and-retry; the JSON
-  reports the best pass plus honest flags: per-pass rates, stalled,
-  retried, and the per-chunk median device rate;
+* a contaminated pass gets up to two bounded settle-and-retries; the
+  JSON reports the best pass plus honest flags: per-pass rates,
+  stalled, retried, and the per-chunk median device rate;
 * a global deadline (SICKLE_BENCH_DEADLINE) degrades gracefully:
   past it, no more retries — emit what was measured.
 
@@ -116,10 +118,10 @@ def main():
     # hold the WHOLE pass (the 300k/34 MB pass kept crossing the budget
     # boundary mid-pass and eating a penalty-box stall; BENCH r2/r3 logs)
     copies = int(os.environ.get("SICKLE_BENCH_COPIES", "48"))
-    # secondary rows ship fewer bytes: the tunneled link budgets
-    # cumulative bytes, and the se headline (measured first, right after
-    # warmup) gets the freshest window
-    copies2 = int(os.environ.get("SICKLE_BENCH_COPIES2", str(max(copies // 3, 1))))
+    # secondary rows: half the headline's reads fill one 64k-row slice
+    # almost exactly (pe pads both mates into one pow2 batch), so the
+    # extra records ride padding that would ship anyway
+    copies2 = int(os.environ.get("SICKLE_BENCH_COPIES2", str(max(copies // 2, 1))))
     # 64k-row slices: ~7.3 MB H2D each on the bit-plane wire — fewer
     # synchronizing RPCs to fine in the throttle regime, still well under
     # the fast window's 10MB-in-6ms envelope (PERF_NOTES.md)
@@ -300,17 +302,14 @@ def _settle_link(max_wait=None):
       pass taken there completed clean at the throttle byte rate
       (r3 logs: 226-257k reads/s).  Proceed IMMEDIATELY — draining
       toward "fast" spends wall clock and never upgraded the regime.
-    * A fast KB probe plus ONE fast canary repeatedly preceded
-      multi-minute mid-pass stalls (4334 MB/s canary -> 760 s chunk
-      stall; 1530 MB/s -> 1087 s; 531 MB/s -> stall): the burst budget
-      is often barely one canary deep, and the canary itself drains it.
-      "Fast" is therefore only trusted after TWO canaries, spaced
-      ~15 s, BOTH clear >=100 MB/s — a genuinely refilled window passes
-      both; a mirage fails the second (or the pass lands in throttle
-      and still completes).
-    * Canaries are slice-sized random payloads — a zeros probe can ride
-      tunnel compression and spend no real budget (the round-2 962 s
-      stall behind a 0.4 ms KB probe).
+    * NO byte canaries: every canary strategy tried (1 MB zeros, one
+      slice-size random canary, two 15 s-spaced canaries both clearing
+      >=500 MB/s) was followed by a multi-minute mid-pass stall — the
+      canary spends the very burst budget the pass needs.  On a fast
+      KB probe the PASS ITSELF is the byte probe: if the window is
+      real the pass rides it; if it is a mirage, pass 0 eats the stall
+      and the bounded retry lands in post-stall throttle and completes
+      clean (recorded: 323k reads/s retry after a 115 s pass-0 stall).
     Bounded by SICKLE_BENCH_SETTLE seconds (0 disables)."""
     import jax
     import numpy as np
@@ -323,50 +322,24 @@ def _settle_link(max_wait=None):
     probe = jax.jit(lambda x: (x + 1).sum())
     rng = np.random.default_rng(0)
     small = rng.integers(0, 1 << 20, (128,), dtype=np.int32)
-    canary_rows = int(os.environ.get("SICKLE_BENCH_CANARY_ROWS", str(1 << 15)))
-    canary = rng.integers(33, 105, (canary_rows, 152), dtype=np.int32
-                          ).astype(np.uint8)  # qual-like, incompressible-ish
-    canary_s_ok = canary.size / (100e6)  # >=100 MB/s
-    canaries_left = int(os.environ.get("SICKLE_BENCH_CANARY_MAX", "4"))
     start = time.time()
-    fast_streak = 0
     while True:
         t0 = time.perf_counter()
         jax.block_until_ready(probe(small))
         dt = time.perf_counter() - t0
         waited = time.time() - start
-        if 0.005 <= dt < 0.08:
+        if dt < 0.005:
+            log(f"link probe {dt * 1e3:.1f} ms — fast RPCs, proceeding "
+                "(the pass itself probes the byte budget)")
+            return
+        if dt < 0.08:
             log(f"link probe {dt * 1e3:.0f} ms — stable throttle regime, "
                 "proceeding")
             return
-        if dt < 0.005:
-            if canaries_left <= 0:
-                log("fast RPCs but no canaries left — proceeding")
-                return
-            canaries_left -= 1
-            t0 = time.perf_counter()
-            jax.block_until_ready(probe(canary))
-            cdt = time.perf_counter() - t0
-            mbps = canary.size / cdt / 1e6
-            if cdt < canary_s_ok:
-                fast_streak += 1
-                if fast_streak >= 2:
-                    log(f"canary {mbps:.0f} MB/s twice — fast window "
-                        "confirmed, proceeding")
-                    return
-                log(f"canary {mbps:.0f} MB/s — confirming with a second "
-                    "canary in 15 s")
-                time.sleep(15)
-                continue
-            fast_streak = 0
-            log(f"canary {mbps:.0f} MB/s — byte budget cold "
-                f"({canaries_left} canaries left)")
-        else:
-            fast_streak = 0
-            log(f"link probe {dt * 1e3:.0f} ms — deep penalty, draining...")
         if waited > max_wait:
             log("settle deadline — proceeding in current state")
             return
+        log(f"link probe {dt * 1e3:.0f} ms — deep penalty, draining...")
         time.sleep(20)
 
 
