@@ -126,6 +126,40 @@ def test_nul_in_quality_still_errors():
             _run(params, rec * 4, no_planes=no_planes)
 
 
+def test_mesh_path_uses_planes_and_matches():
+    # --devices N inherits the bit-plane wire (VERDICT r2 item 4's
+    # discipline-parity requirement extends to the compressed format):
+    # byte-identity vs single-device, and fewer wire bytes than raw rows
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from sickle_tpu.parallel import data_mesh, sharded_cuts_fn
+
+    params = TrimParams(qualtype=QualityType.SANGER, qual_threshold=60,
+                        length_threshold=20)
+    data = open(FIXTURE, "rb").read()
+    mesh = data_mesh(8)
+    h2d = {}
+    outs = {}
+    for tag in ("planes", "raw"):
+        if tag == "raw":
+            os.environ["SICKLE_TPU_NO_PLANES"] = "1"
+        try:
+            fn = sharded_cuts_fn(params, mesh)
+            buf = io.BytesIO()
+            run_se(io.BytesIO(data), buf, params,
+                   cfg=EngineConfig(records_per_chunk=1024, slice_rows=1024),
+                   cuts_fn=fn)
+            outs[tag] = buf.getvalue()
+            h2d[tag] = getattr(fn, "last_h2d")
+        finally:
+            os.environ.pop("SICKLE_TPU_NO_PLANES", None)
+    single, _, _ = _run(params, data, no_planes=False, slice_rows=1024)
+    assert outs["planes"] == outs["raw"] == single
+    assert h2d["planes"] < h2d["raw"]  # planes engaged on the mesh path
+
+
 def test_trunc_n_uses_seq_path_and_matches():
     # -n needs seq on device; planes are qual-only, so the stacked path
     # must be taken — outputs identical either way
