@@ -146,13 +146,15 @@ def test_mesh_path_uses_planes_and_matches():
         if tag == "raw":
             os.environ["SICKLE_TPU_NO_PLANES"] = "1"
         try:
-            fn = sharded_cuts_fn(params, mesh)
+            from sickle_tpu.utils.metrics import Metrics
+
+            fn = sharded_cuts_fn(params, mesh, slice_rows=1024)
             buf = io.BytesIO()
-            run_se(io.BytesIO(data), buf, params,
-                   cfg=EngineConfig(records_per_chunk=1024, slice_rows=1024),
-                   cuts_fn=fn)
+            cfg = EngineConfig(records_per_chunk=1024, slice_rows=1024)
+            cfg.metrics = Metrics()
+            run_se(io.BytesIO(data), buf, params, cfg=cfg, cuts_fn=fn)
             outs[tag] = buf.getvalue()
-            h2d[tag] = getattr(fn, "last_h2d")
+            h2d[tag] = sum(cfg.metrics.h2d_bytes)
         finally:
             os.environ.pop("SICKLE_TPU_NO_PLANES", None)
     single, _, _ = _run(params, data, no_planes=False, slice_rows=1024)
