@@ -276,9 +276,16 @@ def main():
         # chained device-resident timing (see _device_scan_rate): the
         # honest kernel number, one RPC pair on the tunneled link.
         try:
-            gb_rate = _device_scan_rate(src, params, cfg0, warm_chunk)
+            rates = _device_scan_rate(src, params, cfg0, warm_chunk)
+            # headline = the engine's DEFAULT kernel (round-3 ADVICE: the
+            # artifact must reflect what the engine actually runs); other
+            # kernels are recorded alongside
+            default_kernel = os.environ.get("SICKLE_TPU_KERNEL", "jnp") or "jnp"
+            gb_rate = rates.get(default_kernel, max(rates.values(), default=0.0))
             extra["device_scan_gb_per_s"] = {
                 "value": round(gb_rate, 1), "unit": "GB/s",
+                "kernel": default_kernel,
+                "all_kernels_gb_per_s": {k: round(v, 1) for k, v in rates.items()},
                 "vs_baseline": round(gb_rate / HBM_ROOFLINE_GB_S, 3),
                 "note": "vs v5e HBM roofline; chained device-resident timing, one RPC pair",
             }
@@ -291,6 +298,7 @@ def main():
         "metric": "se_reads_per_s",
         "value": round(se_rate),
         "unit": "reads/s",
+        "final": True,  # distinguishes from the preliminary tail line
         "vs_baseline": round(se_rate / BASELINE_SE_READS_PER_S, 2),
         "extra_metrics": dict(extra, se_detail={
             "seconds": round(se["seconds"], 3),
@@ -360,10 +368,9 @@ def _device_scan_rate(src, params, cfg, warm_chunk, iters=32):
     round-2 per-call version measured RPC latency, not the kernel).
 
     The resident batch is tiled to 64k rows ON DEVICE (one 2.5 MB wire
-    transfer regardless), and the faster of the two kernels (fused-XLA
-    jnp vs single-pass Pallas) is measured as the headline device rate —
-    both are exact, so the metric reports what the engine would actually
-    run device-side."""
+    transfer regardless).  Returns {kernel_name: GB/s} for every kernel
+    that runs; the caller headlines the engine-default kernel's rate
+    (round-3 ADVICE: the artifact must reflect what the engine runs)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -393,7 +400,7 @@ def _device_scan_rate(src, params, cfg, warm_chunk, iters=32):
         return run
 
     rows = packed.qual.shape[0] * reps
-    best = 0.0
+    rates = {}
     for name, kernel in (
         ("jnp", lambda q, l: compute_cuts(q, q, l, params)),
         ("pallas", lambda q, l: compute_cuts_pallas(q, q, l, params,
@@ -408,10 +415,10 @@ def _device_scan_rate(src, params, cfg, warm_chunk, iters=32):
             rate = rows * packed.qual.shape[1] * iters / dt / 1e9
             log(f"device scan [{name}]: {rate:.1f} GB/s "
                 f"({dt * 1e3 / iters:.2f} ms per {rows>>10}k-row batch)")
-            best = max(best, rate)
+            rates[name] = rate
         except Exception as e:
             log(f"device scan [{name}] skipped: {e}")
-    return best
+    return rates
 
 
 def _backend():

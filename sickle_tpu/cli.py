@@ -124,8 +124,11 @@ class _Dist:
                     "(block-splittable) input; serial gzip inputs must "
                     f"be pre-sharded per host ('{fp}').\n\n"
                 )
-            except OSError:
+            except FileNotFoundError:
                 pass  # open_input reports missing files with parity text
+            # other OSErrors (permissions, IO) propagate: downstream opens
+            # would hit them anyway, and swallowing here would silently
+            # disable the splittability check (round-3 ADVICE)
         return None
 
 

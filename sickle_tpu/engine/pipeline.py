@@ -67,6 +67,16 @@ def _adapt_cuts_fn(fn: CutsFn) -> Callable:
     """
     import inspect
 
+    def forward_attrs(wrapped):
+        # backend fns carry engine-protocol attributes (lazy dispatch, AOT
+        # warmup, producer-thread wire prep, wire accounting); a wrapper
+        # that dropped them would silently disable those paths for
+        # qual_clean-only or 3-arg custom fns (round-3 ADVICE)
+        for attr in ("lazy", "warmup_aot", "prepare"):
+            if hasattr(fn, attr):
+                setattr(wrapped, attr, getattr(fn, attr))
+        return wrapped
+
     try:
         sig = inspect.signature(fn)
         if "wire" in sig.parameters or any(
@@ -75,13 +85,14 @@ def _adapt_cuts_fn(fn: CutsFn) -> Callable:
         ):
             return fn
         if "qual_clean" in sig.parameters:
-            return lambda seq, qual, lengths, qual_clean=False, wire=None: fn(
-                seq, qual, lengths, qual_clean=qual_clean)
+            return forward_attrs(
+                lambda seq, qual, lengths, qual_clean=False, wire=None: fn(
+                    seq, qual, lengths, qual_clean=qual_clean))
     except (TypeError, ValueError):
         pass
-    wrapped = lambda seq, qual, lengths, qual_clean=False, wire=None: fn(  # noqa: E731
-        seq, qual, lengths)
-    return wrapped
+    return forward_attrs(
+        lambda seq, qual, lengths, qual_clean=False, wire=None: fn(
+            seq, qual, lengths))
 
 
 class _Cancelled(BaseException):

@@ -82,7 +82,14 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
     # 2^24); the recombined C <= L*93 < 2^24.  Negative decoded quals
     # (solexa min -5) are lifted by a static `base` and restored through
     # the prefix count min(j+1, len), so integer semantics are unchanged.
-    if L <= 2048:
+    # MXU path VMEM budget (round-3 ADVICE: L<=2048 near the cap could
+    # exceed v5e VMEM): the L x L bf16 triangle plus its two i32 iota
+    # intermediates (~10 L^2 bytes, assuming Mosaic materializes them) and
+    # ~12 live [TB, L] i32 intermediates must fit well under the 128 MiB
+    # core VMEM with headroom for double-buffered input DMA.  Larger L
+    # takes the roll-scan fallback below (correct at every L; only the
+    # scan's cost model changes).
+    if 10 * L * L + 48 * TB * L <= (64 << 20):
         base = min(qmin - offset, 0)
         qnn = qv - jnp.where(in_read, base, 0) if base else qv
         tri = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)

@@ -177,7 +177,6 @@ def sliding_window_cuts(
     five = 0
     three = L
     found_five = False
-    three_triggered = False
 
     window_total = sum(q[j] for j in range(w))
     for i in range(0, L - w + 1):
@@ -195,14 +194,11 @@ def sliding_window_cuts(
                 if q[j] < t:
                     three = j
                     break
-            three_triggered = True
             break
         # slide (trim.cpp:76-80)
         window_total -= q[i]
         if i + w < L:
             window_total += q[i + w]
-
-    del three_triggered  # kept for clarity of the algorithm; not used below
 
     # -n: truncate at the base BEFORE the first N (upstream semantics;
     # unconditional override of the quality-derived 3' cut).
