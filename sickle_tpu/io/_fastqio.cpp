@@ -284,6 +284,114 @@ int sk_parse_pack2(const uint8_t* data, int64_t n, int64_t max_records,
   return 0;
 }
 
+// --- host cuts kernel: exact sliding-window trimming on the CPU --------
+//
+// Scalar-per-read transcription of the oracle semantics (SURVEY.md §2.3,
+// reference src/trim.cpp:3-116) over a packed [B, L] row matrix.  This is
+// the engine's HOST compute path: the hybrid dispatcher feeds it the
+// chunks the metered TPU link cannot carry, and non-JAX hosts can run the
+// whole pipeline through it.  ~2*len integer ops per read, parallel over
+// rows; a 2-core container sustains millions of reads/s.
+//
+// Quality-range semantics are the reference's LAZY ones: a char errors
+// only if the scan touches it.  The loop runs unchecked, recording the
+// touched extent (= min(i_break + w, len)); the row's bytes [0, extent)
+// are then scanned for out-of-range chars.  Sound because the loop's
+// trajectory up to the first touch of position p depends only on
+// positions < p (the window ending at p is the first to read it), so an
+// unchecked run reaches/misses p exactly as the checked reference does.
+// strict=1 scans the whole read instead (--strict).
+//
+// out_bad[r] = first flagged 0-based position, else 0x3FFFFFFF (BIG) —
+// same contract as the device kernels; the caller re-derives the exact
+// reference message scalar-side for flagged rows (engine._check_quality).
+
+struct CutsCtx {
+  const uint8_t* seq;   // nullable when !trunc_n
+  const uint8_t* qual;
+  const int32_t* lengths;
+  int64_t L;
+  int qoffset, qmin, qmax, t, lthr;
+  int no_fiveprime, trunc_n, n_lower_first, strict;
+  int32_t* five;
+  int32_t* three;
+  int32_t* bad;
+};
+
+static void cuts_body(int64_t lo, int64_t hi, void* vctx) {
+  const CutsCtx* c = static_cast<const CutsCtx*>(vctx);
+  const int64_t L = c->L;
+  const int32_t BIGC = 0x3FFFFFFF;
+  const int t = c->t;
+  for (int64_t r = lo; r < hi; r++) {
+    c->bad[r] = BIGC;
+    const int32_t len = c->lengths[r];
+    // upfront length filter (trim.cpp:21-26): before any quality decode,
+    // so short rows (and padding rows, len 0) never touch chars
+    if (len < c->lthr || len <= 0) {
+      c->five[r] = -1;
+      c->three[r] = -1;
+      continue;
+    }
+    const uint8_t* q = c->qual + r * L;
+    int32_t w = len / 10;  // int(0.1*len) == len/10 exactly (ops/trim.py)
+    if (w == 0) w = len;
+    int32_t five = 0, three = len;
+    bool found = false;
+    int64_t twl = (int64_t)t * w;
+    int64_t total = 0;
+    for (int32_t j = 0; j < w; j++) total += q[j] - c->qoffset;
+    int32_t i = 0;
+    const int32_t i_end = len - w;  // inclusive
+    for (;; i++) {
+      if (!c->no_fiveprime && !found && total >= twl) {
+        for (int32_t j = i; j < i + w; j++) {
+          if (q[j] - c->qoffset >= t) {
+            five = j;
+            break;
+          }
+        }
+        found = true;
+      }
+      if (total < twl && (found || c->no_fiveprime)) {
+        for (int32_t j = i; j < i + w; j++) {
+          if (q[j] - c->qoffset < t) {
+            three = j;
+            break;
+          }
+        }
+        break;
+      }
+      if (i >= i_end) break;
+      total -= q[i] - c->qoffset;
+      if (i + w < len) total += q[i + w] - c->qoffset;
+    }
+    // touched extent: initial window [0, w) plus one char per slide;
+    // at loop exit index i the extent is min(i + w, len)
+    int32_t extent = c->strict ? len : std::min(i + w, len);
+    for (int32_t j = 0; j < extent; j++) {
+      if (q[j] < c->qmin || q[j] > c->qmax) {
+        c->bad[r] = j;
+        break;
+      }
+    }
+    if (c->trunc_n && c->seq) {
+      const uint8_t* s = c->seq + r * L;
+      const void* pa = memchr(s, c->n_lower_first ? 'n' : 'N', len);
+      const void* pb = memchr(s, c->n_lower_first ? 'N' : 'n', len);
+      const void* p = pa ? pa : pb;
+      if (p) three = (int32_t)((const uint8_t*)p - s) - 1;
+    }
+    if ((!found && !c->no_fiveprime) || (three - five < c->lthr)) {
+      c->five[r] = -1;
+      c->three[r] = -1;
+    } else {
+      c->five[r] = five;
+      c->three[r] = three;
+    }
+  }
+}
+
 struct AssembleCtx {
   const uint8_t* data;
   const int64_t* name_start;
@@ -335,6 +443,20 @@ static void assemble_body(int64_t lo, int64_t hi, void* vctx) {
     }
     *o++ = '\n';
   }
+}
+
+// Host cuts kernel (see CutsCtx block comment).  seq may be null when
+// !trunc_n.  Writes five/three (-1/-1 = discard) and bad (first flagged
+// quality position or 0x3FFFFFFF) for every row.
+void sk_cuts(const uint8_t* seq, const uint8_t* qual, const int32_t* lengths,
+             int64_t B, int64_t L, int qoffset, int qmin, int qmax, int t,
+             int lthr, int no_fiveprime, int trunc_n, int n_lower_first,
+             int strict, int32_t* five, int32_t* three, int32_t* bad,
+             int n_threads) {
+  CutsCtx ctx{seq,  qual,    lengths, L,       qoffset,       qmin,
+              qmax, t,       lthr,    no_fiveprime, trunc_n,  n_lower_first,
+              strict, five,  three,   bad};
+  parallel_for(B, n_threads, cuts_body, &ctx);
 }
 
 // Emit trimmed records at precomputed output offsets (parallel memcpy).

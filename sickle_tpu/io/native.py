@@ -99,6 +99,12 @@ def get_lib():
             pu8, i64, p64, p32, p64, p64, p32, p64, p32, p32, pu8,
             ctypes.c_int, u8, p64, pu8, ctypes.c_int,
         ]
+        ci = ctypes.c_int
+        lib.sk_cuts.restype = None
+        lib.sk_cuts.argtypes = [
+            pu8, pu8, p32, i64, i64, ci, ci, ci, ci, ci, ci, ci, ci, ci,
+            p32, p32, p32, ci,
+        ]
         lib.sk_qual_minmax.restype = ctypes.c_int
         lib.sk_qual_minmax.argtypes = [pu8, i64, pu8, pu8, ctypes.c_int]
         lib.sk_bitplanes.restype = ctypes.c_int
