@@ -1,0 +1,327 @@
+"""Hybrid device+host chunk dispatch with stall failover.
+
+On the tunneled-TPU link the H2D wire caps a pure-device pass at
+``link_rate / bytes_per_read`` (PERF_NOTES.md) while the host sits ~70%
+idle.  The hybrid dispatcher closes that gap: every chunk is routed to
+the DEVICE worker while its queue has room, and to the HOST cuts kernel
+(ops.trim_host, exact scalar semantics in C++) when the device is
+back-pressured — so a wire-bound pass runs at wire rate PLUS host rate,
+and a healthy-link pass runs pure-device as before.
+
+Structure (no engine changes — this is just a cuts_fn):
+
+  main thread      submit(): route to device_q (preferred) or host_q,
+                   return an ordered _Slot; the engine's finalize window
+                   waits on slots in dispatch order as it does for
+                   _PendingCuts
+  device worker    the ONLY thread issuing device RPCs (preserves the
+                   single-thread link discipline); keeps the engine's
+                   H2D/compute overlap window internally
+  host worker      runs sk_cuts (GIL released) on host-routed chunks
+
+Failure detection + failover (SURVEY.md §5.4): the link's fast-window
+trap stalls a mid-pass RPC for MINUTES (recorded: 760 s, 1087 s).  If a
+device slot is not filled within ``rescue_s``, the waiter recomputes the
+chunk host-side, fills the slot, and marks the device suspect; new
+chunks route host-only until the device worker drains.  The late device
+result is discarded on arrival (first fill wins), so a stall costs
+``rescue_s`` once instead of killing the pass.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..ops import TrimParams
+from ..ops.trim_host import compute_cuts_host
+
+_SENTINEL = object()
+
+
+class _Slot:
+    """One chunk's result slot; first fill wins (device vs rescue)."""
+
+    __slots__ = ("_ev", "_val", "_lk", "job", "route")
+
+    def __init__(self, job, route):
+        self._ev = threading.Event()
+        self._val = None
+        self._lk = threading.Lock()
+        self.job = job  # (seq, qual, lengths) kept for rescue recompute
+        self.route = route
+
+    def fill(self, kind, value) -> bool:
+        with self._lk:
+            if self._val is not None:
+                return False
+            self._val = (kind, value)
+        self._ev.set()
+        return True
+
+    def wait(self, timeout=None):
+        if self._ev.wait(timeout):
+            return self._val
+        return None
+
+
+class _SlotResult:
+    """Engine-facing lazy result (duck-types _PendingCuts.materialize)."""
+
+    __slots__ = ("slot", "owner")
+
+    def __init__(self, slot, owner):
+        self.slot = slot
+        self.owner = owner
+
+    def materialize(self):
+        return self.owner._resolve(self.slot)
+
+
+class HybridCutsFn:
+    """Engine cuts_fn wrapping a device cuts_fn with host failover/assist.
+
+    ``device_fn`` may be None (host-only mode: every chunk takes the host
+    kernel — the fair same-silicon comparison against the reference's
+    pthreads loop).  Thread-safe for the engine's single dispatch thread;
+    ``close()`` stops the workers (restarted lazily on next use).
+    """
+
+    lazy = True  # engine defers materialize to its finalize window
+
+    def __init__(self, params: TrimParams, device_fn=None,
+                 device_depth: int = 2, host_depth: int = 2,
+                 rescue_s: Optional[float] = None,
+                 host_threads: Optional[int] = None):
+        self.params = params
+        self.device_fn = device_fn
+        self.rescue_s = (rescue_s if rescue_s is not None else
+                         float(os.environ.get("SICKLE_TPU_RESCUE_S", "10")))
+        self.host_threads = host_threads
+        self._device_q: queue.Queue = queue.Queue(maxsize=device_depth)
+        self._host_q: queue.Queue = queue.Queue(maxsize=host_depth)
+        self._threads: list = []
+        self._atexit = False
+        self._lk = threading.Lock()
+        self._suspect = False
+        self._device_idle = True
+        self.n_device = 0
+        self.n_host = 0
+        self.n_rescued = 0
+        self.last_h2d = 0
+        # host-only + native lib: the engine can skip packing row matrices
+        # entirely; cuts read records straight from the source buffer via
+        # the line index (sk_cuts_indexed) — ~2 fewer bytes of memory
+        # traffic per input byte on the 2-core host
+        from ..io import native as _native
+
+        self.needs_rows = not (device_fn is None and _native.available())
+        # forwarded engine-protocol hooks
+        if device_fn is not None:
+            for attr in ("warmup_aot", "prepare"):
+                if hasattr(device_fn, attr):
+                    setattr(self, attr, getattr(device_fn, attr))
+
+    def _wire_estimate(self, qual, wire) -> int:
+        if wire is not None:
+            try:
+                return sum(p.nbytes for p in wire[1]) + 4
+            except Exception:
+                pass
+        return qual.nbytes
+
+    # --- engine entry points --------------------------------------------
+    def call_packed(self, packed):
+        """Dispatch a PackedReads chunk (engine fast path): in indexed
+        host-only mode the job carries the line index instead of row
+        matrices; otherwise equivalent to calling the fn directly."""
+        if not self.needs_rows and not packed.rows_packed:
+            ws = packed.workspace
+            n = packed.n_records
+            self._ensure_workers()
+            self.last_h2d = 0
+            job = ("idx", packed.data, ws.starts4[: 4 * n],
+                   ws.lens4[: 4 * n], n)
+            slot = _Slot(job, "host")
+            self._host_q.put(slot)
+            self.n_host += 1
+            return _SlotResult(slot, self)
+        return self(packed.seq, packed.qual, packed.lengths,
+                    qual_clean=packed.qual_clean, wire=packed.wire)
+
+    def __call__(self, seq, qual, lengths, qual_clean=False, wire=None):
+        self._ensure_workers()
+        job = ("rows", seq, qual, lengths, qual_clean, wire)
+        # per-chunk wire accounting for --metrics: device routes ship the
+        # prepared wire (estimate; the worker transfers asynchronously),
+        # host routes ship nothing
+        self.last_h2d = 0
+        if self.device_fn is not None and not self._suspect:
+            try:
+                slot = _Slot(job, "device")
+                self._device_q.put_nowait(slot)
+                self.n_device += 1
+                self.last_h2d = self._wire_estimate(qual, wire)
+                return _SlotResult(slot, self)
+            except queue.Full:
+                pass
+        if self.device_fn is None:
+            slot = _Slot(job, "host")
+            self._host_q.put(slot)
+            self.n_host += 1
+            return _SlotResult(slot, self)
+        # both routes exist: prefer device as soon as it frees up, else
+        # overflow to the host kernel
+        while True:
+            if not self._suspect:
+                try:
+                    slot = _Slot(job, "device")
+                    self._device_q.put_nowait(slot)
+                    self.n_device += 1
+                    self.last_h2d = self._wire_estimate(qual, wire)
+                    return _SlotResult(slot, self)
+                except queue.Full:
+                    pass
+            try:
+                slot = _Slot(job, "host")
+                self._host_q.put_nowait(slot)
+                self.n_host += 1
+                return _SlotResult(slot, self)
+            except queue.Full:
+                time.sleep(0.002)
+
+    # --- result resolution (engine finalize thread) ---------------------
+    def _resolve(self, slot: _Slot):
+        timeout = self.rescue_s if (slot.route == "device"
+                                    and self.rescue_s > 0) else None
+        val = slot.wait(timeout)
+        if val is None:
+            # device stall: recompute host-side, first fill wins; route
+            # new chunks host-only until the device worker drains
+            self._suspect = True
+            self.n_rescued += 1
+            try:
+                val = ("ok", self._host_compute(slot.job))
+            except BaseException as e:  # propagate like a worker error
+                val = ("err", e)
+            if not slot.fill(*val):
+                val = slot.wait()  # device won the race after all
+        kind, payload = val
+        if kind == "err":
+            raise payload
+        return payload
+
+    # --- workers --------------------------------------------------------
+    def _ensure_workers(self):
+        with self._lk:
+            if any(t.is_alive() for t in self._threads):
+                return
+            if not self._atexit:
+                # a daemon worker blocked inside a device RPC at
+                # interpreter teardown aborts the PJRT runtime
+                # ("terminate called ..."); drain workers before exit
+                import atexit
+
+                atexit.register(self.close)
+                self._atexit = True
+            self._threads = []
+            if self.device_fn is not None:
+                t = threading.Thread(target=self._device_loop, daemon=True,
+                                     name="sickle-hybrid-device")
+                t.start()
+                self._threads.append(t)
+            t = threading.Thread(target=self._host_loop, daemon=True,
+                                 name="sickle-hybrid-host")
+            t.start()
+            self._threads.append(t)
+
+    def close(self):
+        with self._lk:
+            threads, self._threads = self._threads, []
+        if not threads:
+            return
+        if self.device_fn is not None:
+            self._device_q.put(_SENTINEL)
+        self._host_q.put(_SENTINEL)
+        for t in threads:
+            t.join(timeout=5)
+
+    def _host_compute(self, job):
+        if job[0] == "idx":
+            from ..ops.trim_host import compute_cuts_indexed
+
+            _, data, starts4, lens4, n = job
+            return compute_cuts_indexed(data, starts4, lens4, n, self.params,
+                                        n_threads=self.host_threads)
+        _, seq, qual, lengths, _, _ = job
+        return compute_cuts_host(
+            seq if self.params.trunc_n else None, qual, lengths,
+            self.params, n_threads=self.host_threads,
+        )
+
+    def _host_loop(self):
+        while True:
+            slot = self._host_q.get()
+            if slot is _SENTINEL:
+                return
+            try:
+                slot.fill("ok", self._host_compute(slot.job))
+            except BaseException as e:
+                slot.fill("err", e)
+
+    def _device_loop(self):
+        """Single device-RPC thread, preserving the engine's cross-chunk
+        H2D/compute overlap: a dispatched chunk's fetch is deferred until
+        one newer chunk has dispatched (or the queue goes idle)."""
+        from collections import deque
+
+        window = int(os.environ.get("SICKLE_TPU_WINDOW", "1"))
+        local: deque = deque()
+        while True:
+            try:
+                slot = self._device_q.get(timeout=0.002 if local else None)
+            except queue.Empty:
+                slot = None
+            if slot is _SENTINEL:
+                while local:
+                    self._finish(*local.popleft())
+                return
+            if slot is not None:
+                self._device_idle = False
+                _, seq, qual, lengths, qual_clean, wire = slot.job
+                try:
+                    result = self.device_fn(seq, qual, lengths,
+                                            qual_clean=qual_clean, wire=wire)
+                    local.append((slot, result))
+                except BaseException as e:
+                    slot.fill("err", e)
+            while len(local) > window or (slot is None and local):
+                self._finish(*local.popleft())
+            if not local and self._device_q.empty():
+                self._device_idle = True
+                self._suspect = False  # drained: give the device a new shot
+
+    def _finish(self, slot, result):
+        from .pipeline import _materialize
+
+        try:
+            n = slot.job[2].shape[0]
+            filled = slot.fill("ok", _materialize(result, n))
+        except BaseException as e:
+            filled = slot.fill("err", e)
+        if not filled:
+            pass  # rescue won; late device result discarded
+
+
+def hybrid_enabled(cfg_hybrid: Optional[bool]) -> bool:
+    if cfg_hybrid is not None:
+        return cfg_hybrid
+    env = os.environ.get("SICKLE_TPU_HYBRID", "").strip()
+    if env:
+        return env not in ("0", "off", "false")
+    return True  # default on: pure-device when the link keeps up anyway

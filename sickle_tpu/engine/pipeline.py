@@ -145,6 +145,10 @@ class EngineConfig:
     # per-chunk stage timing collector (SURVEY.md §5.1); CLI --metrics /
     # bench.py stall detection.  None = zero-overhead no-op.
     metrics: Optional[Metrics] = None
+    # hybrid device+host dispatch (engine/hybrid.py): None = env
+    # SICKLE_TPU_HYBRID, default ON (a healthy device still takes every
+    # chunk; the host kernel only absorbs back-pressure and stalls)
+    hybrid: Optional[bool] = None
 
 
 def _mmap_input(stream: BinaryIO, byte_limit: Optional[int] = None):
@@ -228,16 +232,29 @@ def _effective_chunk(cfg: EngineConfig, l_max: int) -> Tuple[int, int]:
 
 
 def default_cuts_fn(params: TrimParams, cfg: Optional[EngineConfig] = None) -> CutsFn:
-    """Backend-aware device step.
+    """Backend-aware compute step.
 
-    TPU: sliced sub-batch dispatch (see EngineConfig.slice_rows).
-    Other backends: the jnp formulation in one call.
+    TPU: sliced sub-batch dispatch (see EngineConfig.slice_rows), wrapped
+    in the hybrid device+host dispatcher (engine/hybrid.py) unless
+    disabled — the host cuts kernel absorbs link back-pressure and
+    stalls.  ``SICKLE_TPU_CUTS=host`` runs the C++ host kernel alone
+    (no JAX import at all — the same-silicon comparison against the
+    reference's pthreads loop).  Other backends: the jnp formulation.
     """
+    cfg = cfg or EngineConfig()
+    if os.environ.get("SICKLE_TPU_CUTS") == "host":
+        from .hybrid import HybridCutsFn
+
+        return HybridCutsFn(params, None)
     import jax
 
-    cfg = cfg or EngineConfig()
     if jax.default_backend() == "tpu":
-        return _tpu_cuts_fn(params, cfg.slice_rows, cfg.inflight)
+        dev = _tpu_cuts_fn(params, cfg.slice_rows, cfg.inflight)
+        from .hybrid import HybridCutsFn, hybrid_enabled
+
+        if hybrid_enabled(cfg.hybrid) and native.available():
+            return HybridCutsFn(params, dev)
+        return dev
 
     def fn(seq, qual, lengths):
         return compute_cuts_jit(seq, qual, lengths, params)
@@ -569,10 +586,11 @@ def _decode_codes(arr: np.ndarray):
 def _materialize(result, n: int):
     """Fetch device results -> (five, three, first_bad) numpy arrays.
 
-    Accepts a (five, three, bad) tuple of device arrays, the TPU path's
-    deferred ``_PendingCuts``, or its encoded int32 result (see
-    _decode_codes), decoded into the same contract."""
-    if isinstance(result, _PendingCuts):
+    Accepts a (five, three, bad) tuple of device arrays, any lazy result
+    exposing ``materialize()`` (the TPU path's deferred ``_PendingCuts``,
+    the hybrid dispatcher's ordered slots), or the encoded int32 device
+    result (see _decode_codes), decoded into the same contract."""
+    if hasattr(result, "materialize"):
         five, three, bad = result.materialize()
         return five[:n], three[:n], bad
     if isinstance(result, tuple):
@@ -793,6 +811,10 @@ def run_se(
     cfg = cfg or EngineConfig()
     cuts_fn = _adapt_cuts_fn(cuts_fn or default_cuts_fn(params, cfg))
     prep = getattr(cuts_fn, "prepare", None)
+    call_packed = getattr(cuts_fn, "call_packed", None)
+    # indexed host-cuts mode: the fn reads records straight from the
+    # source buffer via the line index; skip packing row matrices
+    need_rows = getattr(cuts_fn, "needs_rows", True)
     # lazy cuts fns defer the result fetch so chunk i+1's dispatch
     # overlaps chunk i's device compute/D2H (one extra in-flight chunk,
     # hence one extra workspace); SICKLE_TPU_WINDOW=0 restores strictly
@@ -827,6 +849,7 @@ def run_se(
                         need_seq=params.trunc_n,
                         est_rec_bytes=state["est"],
                         batch_bytes=cfg.bytes_per_batch,
+                        need_rows=need_rows,
                     )
                 off += consumed
                 if packed.n_records == 0:  # trailing partial record
@@ -856,6 +879,7 @@ def run_se(
                     workspace=pipe.get_workspace(),
                     need_seq=params.trunc_n,
                     batch_bytes=cfg.bytes_per_batch,
+                    need_rows=need_rows,
                 )
             if mtr is not None:
                 mtr.add_chunk(packed.n_records, len(chunk))
@@ -872,8 +896,12 @@ def run_se(
         # overlaps compute across chunks
         h2d = packed.qual.nbytes * (2 if params.trunc_n else 1)
         with _stage(mtr, "dispatch", h2d):
-            result = cuts_fn(packed.seq, packed.qual, packed.lengths,
-                             qual_clean=packed.qual_clean, wire=packed.wire)
+            if call_packed is not None:
+                result = call_packed(packed)
+            else:
+                result = cuts_fn(packed.seq, packed.qual, packed.lengths,
+                                 qual_clean=packed.qual_clean,
+                                 wire=packed.wire)
         if mtr is not None:  # actual wire bytes (e.g. bit-plane format)
             mtr.h2d_bytes[-1] = getattr(cuts_fn, "last_h2d", h2d)
         return packed, result
@@ -986,6 +1014,8 @@ def run_pe(
     cfg = cfg or EngineConfig()
     cuts_fn = _adapt_cuts_fn(cuts_fn or default_cuts_fn(params, cfg))
     prep = getattr(cuts_fn, "prepare", None)
+    call_packed = getattr(cuts_fn, "call_packed", None)
+    need_rows = getattr(cuts_fn, "needs_rows", True)  # see run_se
     window = (int(os.environ.get("SICKLE_TPU_WINDOW", "1"))
               if getattr(cuts_fn, "lazy", False) else 0)  # see run_se
     # two-file runs check out one workspace per mate file per chunk
@@ -1019,6 +1049,7 @@ def run_pe(
                 workspace=pipe.get_workspace(),
                 need_seq=params.trunc_n,
                 batch_bytes=cfg.bytes_per_batch,
+                need_rows=need_rows,
             )
         if mtr is not None:
             mtr.add_chunk(packed.n_records, len(chunk))
@@ -1055,6 +1086,7 @@ def run_pe(
                             workspace=ws,
                             need_seq=params.trunc_n,
                             est_rec_bytes=state["est"],
+                            need_rows=need_rows,
                         )
                     off += consumed
                     if packed.n_records == 0:
@@ -1131,6 +1163,7 @@ def run_pe(
                     workspace=ws1, need_seq=params.trunc_n,
                     est_rec_bytes=state["est"],
                     batch_bytes=cfg.bytes_per_batch,
+                    need_rows=need_rows,
                 )
                 off1 += c1
                 state["l_max"] = max(state["l_max"], pk1.max_len)
@@ -1148,6 +1181,7 @@ def run_pe(
                     workspace=ws2, need_seq=params.trunc_n,
                     est_rec_bytes=state["est"],
                     batch_bytes=cfg.bytes_per_batch,
+                    need_rows=need_rows,
                 )
                 off2 += c2
                 state["l_max"] = max(state["l_max"], pk2.max_len)
@@ -1178,22 +1212,25 @@ def run_pe(
         # device RPC issue only; fetch deferred to finalize (see run_se)
         packed, n1 = item
         mul = 2 if params.trunc_n else 1
+        def call(pk):
+            if call_packed is not None:
+                return call_packed(pk)
+            return cuts_fn(pk.seq, pk.qual, pk.lengths,
+                           qual_clean=pk.qual_clean, wire=pk.wire)
+
         if isinstance(packed, tuple):  # split mate batches (mmap producer)
             pk1, pk2 = packed
             with _stage(mtr, "dispatch",
                         (pk1.qual.nbytes + pk2.qual.nbytes) * mul):
-                r1 = cuts_fn(pk1.seq, pk1.qual, pk1.lengths,
-                             qual_clean=pk1.qual_clean, wire=pk1.wire)
+                r1 = call(pk1)
                 h2d = getattr(cuts_fn, "last_h2d", pk1.qual.nbytes * mul)
-                r2 = cuts_fn(pk2.seq, pk2.qual, pk2.lengths,
-                             qual_clean=pk2.qual_clean, wire=pk2.wire)
+                r2 = call(pk2)
                 h2d += getattr(cuts_fn, "last_h2d", pk2.qual.nbytes * mul)
             if mtr is not None:  # actual wire bytes (e.g. bit-plane format)
                 mtr.h2d_bytes[-1] = h2d
             return packed, n1, (r1, r2)
         with _stage(mtr, "dispatch", packed.qual.nbytes * mul):
-            result = cuts_fn(packed.seq, packed.qual, packed.lengths,
-                             qual_clean=packed.qual_clean, wire=packed.wire)
+            result = call(packed)
         if mtr is not None:
             mtr.h2d_bytes[-1] = getattr(cuts_fn, "last_h2d",
                                         packed.qual.nbytes * mul)

@@ -174,12 +174,17 @@ int64_t sk_count_lines(const uint8_t* data, int64_t n) {
 // use this to keep the derive-lengths-from-zero-padding invariant honest).
 // Trailing partial records (<4 lines) are ignored, matching the
 // reference's 4-line batch alignment (src/GZReader.cpp:104-126).
+// pack_rows=0 skips the row-matrix memcpy entirely (indexed host-cuts
+// mode: sk_cuts_indexed reads records straight from `data`); the NUL
+// scan then runs on the source span so qual_clean semantics (flags bit0)
+// are unchanged, and rc=2 (undersized rows) cannot occur.
 int sk_parse_pack2(const uint8_t* data, int64_t n, int64_t max_records,
                    int64_t scan_hint, int64_t L, int64_t* starts4,
                    int32_t* lens4, uint8_t* seq, uint8_t* qual,
                    int32_t* lengths, int64_t* out_n_records,
                    int64_t* out_max_len, int64_t* err_record,
-                   int64_t* out_flags, int n_threads, int need_seq) {
+                   int64_t* out_flags, int n_threads, int need_seq,
+                   int pack_rows) {
   int64_t max_lines = max_records * 4;
   if (scan_hint <= 0 && n > (8 << 20)) {
     // no caller estimate on a large buffer: sniff the head for the
@@ -257,15 +262,19 @@ int sk_parse_pack2(const uint8_t* data, int64_t n, int64_t max_records,
         continue;
       }
       if (seq_len > mx) mx = seq_len;
-      if (seq_len > L) continue;  // undersized row buffer; caller retries
-      uint8_t* qrow = qual + r * L;
-      memcpy(qrow, data + starts4[4 * r + 3], seq_len);
-      if (!nul && memchr(qrow, 0, seq_len)) nul = true;
-      memset(qrow + seq_len, 0, L - seq_len);
-      if (need_seq) {
-        uint8_t* srow = seq + r * L;
-        memcpy(srow, data + starts4[4 * r + 1], seq_len);
-        memset(srow + seq_len, 0, L - seq_len);
+      if (pack_rows) {
+        if (seq_len > L) continue;  // undersized row buffer; caller retries
+        uint8_t* qrow = qual + r * L;
+        memcpy(qrow, data + starts4[4 * r + 3], seq_len);
+        if (!nul && memchr(qrow, 0, seq_len)) nul = true;
+        memset(qrow + seq_len, 0, L - seq_len);
+        if (need_seq) {
+          uint8_t* srow = seq + r * L;
+          memcpy(srow, data + starts4[4 * r + 1], seq_len);
+          memset(srow + seq_len, 0, L - seq_len);
+        }
+      } else if (!nul && memchr(data + starts4[4 * r + 3], 0, seq_len)) {
+        nul = true;
       }
       lengths[r] = seq_len;
     }
@@ -279,7 +288,7 @@ int sk_parse_pack2(const uint8_t* data, int64_t n, int64_t max_records,
     *err_record = err.load();
     return 1;
   }
-  if (max_len > L) return 2;
+  if (pack_rows && max_len > L) return 2;
   *out_flags = has_nul.load() ? 1 : 0;
   return 0;
 }
@@ -457,6 +466,49 @@ void sk_cuts(const uint8_t* seq, const uint8_t* qual, const int32_t* lengths,
               qmax, t,       lthr,    no_fiveprime, trunc_n,  n_lower_first,
               strict, five,  three,   bad};
   parallel_for(B, n_threads, cuts_body, &ctx);
+}
+
+// Indexed host cuts: read each record's seq/qual bytes STRAIGHT from the
+// source buffer via the parse line index (starts4/lens4 from
+// sk_parse_pack2) — no packed row matrix, so a host-only pipeline skips
+// ~2 bytes of memory traffic per input byte (the row memcpy and its
+// later re-read).  Same exact semantics as sk_cuts.
+struct IdxCutsCtx {
+  const uint8_t* data;
+  const int64_t* starts4;
+  const int32_t* lens4;
+  CutsCtx base;  // seq/qual/lengths/L unused; params + outputs used
+};
+
+static void idx_cuts_body(int64_t lo, int64_t hi, void* vctx) {
+  IdxCutsCtx* c = static_cast<IdxCutsCtx*>(vctx);
+  for (int64_t r = lo; r < hi; r++) {
+    // borrow cuts_body's scalar core by faking a 1-row matrix at the
+    // record's source bytes (stride L is irrelevant for one row)
+    CutsCtx one = c->base;
+    int32_t len = c->lens4[4 * r + 1];
+    one.qual = c->data + c->starts4[4 * r + 3];
+    one.seq = one.trunc_n ? c->data + c->starts4[4 * r + 1] : nullptr;
+    one.lengths = &len;
+    one.L = len;
+    one.five = c->base.five + r;
+    one.three = c->base.three + r;
+    one.bad = c->base.bad + r;
+    cuts_body(0, 1, &one);
+  }
+}
+
+void sk_cuts_indexed(const uint8_t* data, const int64_t* starts4,
+                     const int32_t* lens4, int64_t n_records, int qoffset,
+                     int qmin, int qmax, int t, int lthr, int no_fiveprime,
+                     int trunc_n, int n_lower_first, int strict,
+                     int32_t* five, int32_t* three, int32_t* bad,
+                     int n_threads) {
+  IdxCutsCtx ctx{data, starts4, lens4,
+                 CutsCtx{nullptr, nullptr, nullptr, 0, qoffset, qmin, qmax,
+                         t, lthr, no_fiveprime, trunc_n, n_lower_first,
+                         strict, five, three, bad}};
+  parallel_for(n_records, n_threads, idx_cuts_body, &ctx);
 }
 
 // Emit trimmed records at precomputed output offsets (parallel memcpy).

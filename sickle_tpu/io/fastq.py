@@ -90,6 +90,11 @@ class PackedReads:
     # producer-thread-prepared wire payload (engine cuts_fn.prepare):
     # (bias, [per-slice bit-plane arrays]) or None for raw rows
     wire: Optional[tuple] = None
+    # False when the seq/qual row matrices were deliberately NOT filled
+    # (indexed host-cuts mode reads records straight from ``data`` via
+    # the line index — saves the row memcpy traffic); index arrays,
+    # lengths, validation, and qual_clean are valid either way
+    rows_packed: bool = True
 
     @property
     def batch_size(self) -> int:
@@ -275,6 +280,7 @@ def pack_fastq(
     workspace: Optional[PackWorkspace] = None,
     need_seq: bool = True,
     batch_bytes: Optional[int] = None,
+    need_rows: bool = True,
 ) -> PackedReads:
     """Parse a FASTQ byte buffer into a :class:`PackedReads`.
 
@@ -291,7 +297,7 @@ def pack_fastq(
     if workspace is not None and native.available():
         return _pack_fastq_native(
             arr, workspace, start_position, l_max, batch_multiple, len_multiple,
-            need_seq, batch_bytes=batch_bytes,
+            need_seq, batch_bytes=batch_bytes, pack_rows=need_rows,
         )
     starts, ends = _line_index(arr)
     n_lines = starts.size - starts.size % 4
@@ -386,6 +392,7 @@ def pack_fastq_stream(
     need_seq: bool = True,
     est_rec_bytes: int = 0,
     batch_bytes: Optional[int] = None,
+    need_rows: bool = True,
 ) -> Tuple[PackedReads, int]:
     """Parse up to ``max_records`` records from ``arr[offset:]`` in place.
 
@@ -401,7 +408,7 @@ def pack_fastq_stream(
     packed = _pack_fastq_native(
         view, workspace, start_position, l_max, batch_multiple, len_multiple,
         need_seq, max_records=max_records, batch_bytes=batch_bytes,
-        shrink_records=True,
+        shrink_records=True, pack_rows=need_rows,
     )
     n = packed.n_records
     if n == 0:
@@ -422,6 +429,7 @@ def _pack_fastq_native(
     max_records: Optional[int] = None,
     batch_bytes: Optional[int] = None,
     shrink_records: bool = False,
+    pack_rows: bool = True,
 ) -> PackedReads:
     import ctypes
 
@@ -470,6 +478,7 @@ def _pack_fastq_native(
             native.ptr(flags, ctypes.c_int64),
             native.N_THREADS,
             1 if need_seq else 0,
+            1 if pack_rows else 0,
         )
         if rc == 0:
             break
@@ -502,7 +511,8 @@ def _pack_fastq_native(
         # path's derive-lengths-from-zero-padding invariant holds on the
         # ragged final chunk too
         ws.lengths[n:B] = 0
-        qual_v[n:B] = 0
+        if pack_rows:
+            qual_v[n:B] = 0
     starts4 = ws.starts4[: 4 * n].reshape(n, 4)
     lens4 = ws.lens4[: 4 * n].reshape(n, 4)
     return PackedReads(
@@ -520,6 +530,7 @@ def _pack_fastq_native(
         n_records=n,
         workspace=ws,
         qual_clean=int(flags[0]) & 1 == 0,
+        rows_packed=pack_rows,
     )
 
 

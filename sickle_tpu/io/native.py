@@ -92,7 +92,7 @@ def get_lib():
         lib.sk_parse_pack2.restype = ctypes.c_int
         lib.sk_parse_pack2.argtypes = [
             pu8, i64, i64, i64, i64, p64, p32, pu8, pu8, p32, p64, p64, p64,
-            p64, ctypes.c_int, ctypes.c_int,
+            p64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.sk_assemble.restype = None
         lib.sk_assemble.argtypes = [
@@ -103,6 +103,11 @@ def get_lib():
         lib.sk_cuts.restype = None
         lib.sk_cuts.argtypes = [
             pu8, pu8, p32, i64, i64, ci, ci, ci, ci, ci, ci, ci, ci, ci,
+            p32, p32, p32, ci,
+        ]
+        lib.sk_cuts_indexed.restype = None
+        lib.sk_cuts_indexed.argtypes = [
+            pu8, p64, p32, i64, ci, ci, ci, ci, ci, ci, ci, ci, ci,
             p32, p32, p32, ci,
         ]
         lib.sk_qual_minmax.restype = ctypes.c_int
