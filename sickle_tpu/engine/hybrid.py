@@ -121,6 +121,11 @@ class HybridCutsFn:
         from ..io import native as _native
 
         self.needs_rows = not (device_fn is None and _native.available())
+        # the engine's finalize window must cover BOTH routes' in-flight
+        # depth, or its in-order wait throttles routing to device pace
+        # and the host never sees overflow
+        self.pipeline_window = (device_depth + host_depth + 1
+                                if device_fn is not None else 2)
         # forwarded engine-protocol hooks
         if device_fn is not None:
             for attr in ("warmup_aot", "prepare"):

@@ -60,7 +60,10 @@ def test_hybrid_mixed_routing_matches(fixture_bytes, reference_run):
     p = params()
 
     def slow_dev(seq, qual, lengths):
-        time.sleep(0.02)  # force device back-pressure -> host overflow
+        # 200 ms per device chunk vs ~2 ms packs: the depth-1 device queue
+        # is reliably full when the next chunk routes, forcing host
+        # overflow (20 ms flaked when a cold pack took just as long)
+        time.sleep(0.2)
         return compute_cuts_jit(seq, qual, lengths, p)
 
     fn = HybridCutsFn(p, _adapt_cuts_fn(slow_dev), device_depth=1,
