@@ -98,7 +98,10 @@ def test_two_process_se_end_to_end(tmp_path, reference_fixtures):
     # host 0 prints the globally merged summary; host 1 stays quiet
     host0 = [o for o in outs if "Total FastQ records" in o]
     assert len(host0) == 1
-    assert host0[0] == summary
+    assert host0[0] == summary, (
+        f"host0 stdout != single-host summary\n"
+        f"host0: {host0[0]!r}\nsummary: {summary!r}"
+    )
     assert "Total FastQ records: 2500" in host0[0]
 
 
