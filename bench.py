@@ -192,7 +192,9 @@ def main():
         aot_ok = False
         if hasattr(cuts_fn, "warmup_aot"):
             try:
-                cuts_fn.warmup_aot(152)
+                # band wire (6 planes: the fixture's 40-char band) plus
+                # the rank wire (3 planes: the binned-qual row)
+                cuts_fn.warmup_aot(152, ranks=(3,))
                 aot_ok = True
             except Exception as e:
                 log(f"AOT warmup unavailable ({e}); falling back to mini run")
@@ -272,6 +274,27 @@ def main():
             "stalled": gz["stalled"],
         }
 
+        # --- binned-qual se (rank wire: 4 levels -> 3 planes, 57 B/read)
+        # modern Illumina (NovaSeq) emits 4 quality levels; the rank wire
+        # ships dictionary ranks so the H2D cost halves vs the 6-plane
+        # band wire.  Baseline: the same se reads/s target (the reference
+        # is insensitive to the qual distribution).
+        src_b = os.path.join(td, "bench_binned.fastq")
+        _write_binned(src, src_b)
+        def run_binned(cfg):
+            with open(src_b, "rb") as fin, open(out_path, "wb") as fout:
+                return run_se(fin, fout, params, cfg=cfg,
+                              cuts_fn=cuts_fn).total
+
+        bn = measured_pass("binned-se", n_reads, run_binned, min_rate,
+                           make_cfg)
+        extra["binned_se_reads_per_s"] = {
+            "value": round(bn["value"]), "unit": "reads/s",
+            "vs_baseline": round(bn["value"] / BASELINE_SE_READS_PER_S, 2),
+            "stalled": bn["stalled"],
+            "note": "NovaSeq-binned quals; rank wire ships 3 bit-planes",
+        }
+
         # --- device scan rate (GB/s vs HBM roofline) ---
         # chained device-resident timing (see _device_scan_rate): the
         # honest kernel number, one RPC pair on the tunneled link.
@@ -308,6 +331,24 @@ def main():
             "median_chunk_device_ms": se["median_chunk_device_ms"],
         }),
     }))
+
+
+def _write_binned(src, dst):
+    """Rewrite ``src``'s quality chars onto 4 NovaSeq-style levels
+    (q in {2,12,23,37} -> chars {35,45,56,70}): the binned-wire fixture."""
+    import numpy as np
+
+    data = np.fromfile(src, np.uint8)
+    nl = np.flatnonzero(data == 0x0A)
+    starts = np.concatenate([[0], nl[:-1] + 1])
+    lut = np.arange(256, dtype=np.uint8)
+    q = np.arange(256).astype(np.int32) - 33
+    lut[:] = np.where(q < 7, 35, np.where(q < 18, 45,
+                      np.where(q < 30, 56, 70))).astype(np.uint8)
+    for i in range(3, starts.size, 4):  # quality lines
+        lo, hi = starts[i], nl[i]
+        data[lo:hi] = lut[data[lo:hi]]
+    data.tofile(dst)
 
 
 def _settle_link(max_wait=None):

@@ -39,7 +39,8 @@ from ..io.fastq import (
     pack_fastq,
     pack_fastq_stream,
     qual_bitplanes,
-    qual_minmax,
+    qual_levels,
+    qual_rank_planes,
     record_out_sizes,
 )
 from ..oracle import (
@@ -414,7 +415,12 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
     import jax.numpy as jnp
 
     from ..constants import QUALITY_CONSTANTS
-    from ..ops.trim import compute_cuts, compute_cuts_from_q, decode_planes
+    from ..ops.trim import (
+        apply_rank_lut,
+        compute_cuts,
+        compute_cuts_from_q,
+        decode_planes,
+    )
 
     if os.environ.get("SICKLE_TPU_KERNEL") == "pallas":
         from ..ops.trim_pallas import compute_cuts_pallas
@@ -489,6 +495,21 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
         return (three + 1) | ((five + 1) << 16)
 
     @jax.jit
+    def step_planes_rank(planes, lut):
+        # rank wire (dictionary encoding): v = 1 + rank of the char in
+        # the chunk's <=7 distinct levels; lut maps rank -> decoded
+        # quality.  Binned Illumina data ships ceil(log2(levels+1))
+        # planes regardless of how wide the LEVEL BAND is — 3 planes =
+        # 57 B per 150 bp read vs the band wire's 6.
+        v = decode_planes(planes)  # int32[B, L]; 0 marks padding
+        L = v.shape[1]
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        lengths = jnp.min(jnp.where(v == 0, lane, L), axis=1)
+        q = apply_rank_lut(v, lut)
+        five, three = compute_cuts_from_q(q, lengths, params)
+        return (three + 1) | ((five + 1) << 16)
+
+    @jax.jit
     def step_sq(stacked):  # -n: [2, B, L] seq+qual in one transfer
         seq, qual = stacked[0], stacked[1]
         lengths = derive_lengths(qual)
@@ -507,7 +528,8 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
     enc_offset, enc_qmin, enc_qmax = QUALITY_CONSTANTS[params.qualtype]
     no_planes = bool(os.environ.get("SICKLE_TPU_NO_PLANES"))
 
-    def warmup_aot(L: int, min_rows: int = 2048) -> None:
+    def warmup_aot(L: int, min_rows: int = 2048,
+                   planes=(QUAL_PLANES,), ranks=()) -> None:
         """Compile the steady-state executables WITHOUT touching the device.
 
         ``jit.lower(...).compile()`` runs the (local) AOT compiler only —
@@ -517,9 +539,10 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
         [slice_rows, L] shape plus the power-of-two ladder down to
         ``min_rows``: ragged final chunks are pow2-padded by the packer
         (_clamp_bm) and dispatched as pow2 tail pieces, so the measured
-        pass never compiles inline.  On the qual-only path both wire
-        formats (bit-planes and raw rows) are compiled: the planes
-        eligibility gate is per-chunk data-dependent.
+        pass never compiles inline.  On the qual-only path the raw-row
+        format plus every requested bit-plane count is compiled (the
+        plane count is per-chunk data-dependent — pass the counts the
+        run's data can produce; a miss compiles inline, locally).
         """
         import jax.numpy as _jnp
 
@@ -530,10 +553,17 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
                     jax.ShapeDtypeStruct((2, rows, L), _jnp.uint8)).compile()
             else:
                 if L % 8 == 0 and not no_planes:
-                    step_planes.lower(
-                        jax.ShapeDtypeStruct((QUAL_PLANES, rows, L // 8),
-                                             _jnp.uint8),
-                        jax.ShapeDtypeStruct((), _jnp.int32)).compile()
+                    for p in planes:
+                        step_planes.lower(
+                            jax.ShapeDtypeStruct((p, rows, L // 8),
+                                                 _jnp.uint8),
+                            jax.ShapeDtypeStruct((), _jnp.int32)).compile()
+                    for p in ranks:
+                        step_planes_rank.lower(
+                            jax.ShapeDtypeStruct((p, rows, L // 8),
+                                                 _jnp.uint8),
+                            jax.ShapeDtypeStruct((1 << p,),
+                                                 _jnp.int32)).compile()
                 step_q.lower(
                     jax.ShapeDtypeStruct((rows, L), _jnp.uint8)).compile()
             if rows & (rows - 1):  # mesh-rounded SL: drop to pow2 ladder
@@ -541,22 +571,46 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
             else:
                 rows //= 2
 
-    def _planes_bias(qual, qual_clean, B):
-        """Bit-plane wire eligibility (per chunk, data-dependent): the
+    def _wire_plan(qual, qual_clean, B):
+        """Per-chunk compressed-wire selection (data-dependent): the
         whole chunk's chars must fit the encoding's range (=> the range
         check cannot fire; out-of-range chunks take the raw path whose
-        device check preserves the reference's error semantics) AND a
-        6-bit band above bias = min - 1 (real data: ~40 distinct chars).
-        Returns the bias char, or -1 for ineligible."""
+        device check preserves the reference's error semantics).  Then
+        the cheapest exact format wins:
+
+        * ("rank", levels, p) — <= 7 distinct quality values (binned
+          Illumina): chars ship as dictionary ranks in
+          p = ceil(log2(levels+1)) planes, regardless of band width
+          (NovaSeq's 4 levels span a 36-char band: 3 planes, not 6);
+        * ("band", bias, p)  — narrow band above bias = min - 1,
+          p = band bit width (<= 6);
+        * None — raw u8 rows.
+        """
         if (needs_seq or no_planes or not qual_clean or B % 8
                 or qual.shape[1] % 8 or qual.shape[1] >= MAX_PACKED_L
                 or (mesh is not None and B % SL)):
-            return -1
-        mn, mx = qual_minmax(qual)
-        if (mn != 255 and mn >= enc_qmin and mx <= enc_qmax
-                and mx - (mn - 1) < (1 << QUAL_PLANES)):
-            return mn - 1
-        return -1
+            return None
+        levels = qual_levels(qual)
+        if levels.size == 0:
+            return None
+        mn, mx = int(levels[0]), int(levels[-1])
+        if mn < enc_qmin or mx > enc_qmax:
+            return None
+        p_band = (mx - (mn - 1)).bit_length()
+        p_rank = levels.size.bit_length() if levels.size <= 7 else 99
+        if p_rank < min(p_band, QUAL_PLANES + 1):
+            return ("rank", levels, p_rank)
+        if p_band <= QUAL_PLANES:
+            return ("band", mn - 1, max(p_band, 1))
+        return None
+
+    def _wire_pieces(qual, plan):
+        mode, arg, p = plan
+        if mode == "rank":
+            return [qual_rank_planes(qual[i : i + n], arg, p)
+                    for i, n in _pieces(qual.shape[0])]
+        return [qual_bitplanes(qual[i : i + n], arg, p)
+                for i, n in _pieces(qual.shape[0])]
 
     def _pieces(B):
         # full slices, then the pow2-padded ragged tail (_clamp_bm) as
@@ -573,14 +627,13 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
     def prepare(packed):
         """Producer-thread wire prep: pack the chunk's bit-planes OFF the
         dispatch thread (overlaps the previous chunk's device RPCs).
-        Stores (bias, [per-piece planes]) on ``packed.wire``."""
+        Stores (plan, [per-piece planes]) on ``packed.wire``."""
         qual = packed.qual
-        bias = _planes_bias(qual, packed.qual_clean, qual.shape[0])
-        if bias < 0:
+        plan = _wire_plan(qual, packed.qual_clean, qual.shape[0])
+        if plan is None:
             packed.wire = None
             return
-        packed.wire = (bias, [qual_bitplanes(qual[i : i + n], bias)
-                              for i, n in _pieces(qual.shape[0])])
+        packed.wire = (plan, _wire_pieces(qual, plan))
 
     def fn(seq, qual, lengths, qual_clean=False, wire=None):
         lengths = np.asarray(lengths)
@@ -610,10 +663,14 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
             return _PendingCuts([], [r])
 
         if wire is not None:
-            bias, planes_list = wire
+            plan, planes_list = wire
         else:
-            bias = _planes_bias(qual, qual_clean, B)
-            planes_list = None
+            plan = _wire_plan(qual, qual_clean, B)
+            planes_list = _wire_pieces(qual, plan) if plan is not None else None
+        if plan is not None and plan[0] == "rank":
+            levels, p = plan[1], plan[2]
+            lut = np.zeros(1 << p, np.int32)
+            lut[1 : 1 + levels.size] = levels.astype(np.int32) - enc_offset
         futs: list = []
         outs: list = []
         h2d = 0
@@ -622,12 +679,15 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
                 futs.append(step_sq(put3(
                     np.stack([seq[i : i + n], qual[i : i + n]]))))
                 h2d += 2 * n * qual.shape[1]
-            elif bias >= 0:
-                planes = (planes_list[k] if planes_list is not None
-                          else qual_bitplanes(qual[i : i + n], bias))
-                futs.append(step_planes(
-                    put3(planes), put0(np.int32(bias - enc_offset))))
-                h2d += planes.nbytes + 4
+            elif plan is not None:
+                planes = planes_list[k]
+                if plan[0] == "rank":
+                    futs.append(step_planes_rank(put3(planes), put0(lut)))
+                    h2d += planes.nbytes + lut.nbytes
+                else:
+                    futs.append(step_planes(
+                        put3(planes), put0(np.int32(plan[1] - enc_offset))))
+                    h2d += planes.nbytes + 4
             else:
                 futs.append(step_q(put2(qual[i : i + n])))
                 h2d += n * qual.shape[1]

@@ -651,9 +651,134 @@ static void bitplanes_body(int64_t lo, int64_t hi, void* vctx) {
 #endif
 }
 
+struct LevelsCtx {
+  const uint8_t* p;
+  std::atomic<uint64_t> seen[4];  // 256-bit presence bitmap
+};
+
+static void levels_body(int64_t lo, int64_t hi, void* vctx) {
+  LevelsCtx* c = static_cast<LevelsCtx*>(vctx);
+  uint64_t local[4] = {0, 0, 0, 0};
+  for (int64_t i = lo; i < hi; i++) {
+    uint8_t v = c->p[i];
+    local[v >> 6] |= 1ull << (v & 63);
+  }
+  for (int k = 0; k < 4; k++) {
+    if (local[k]) c->seen[k].fetch_or(local[k], std::memory_order_relaxed);
+  }
+}
+
+struct RankPlanesCtx {
+  const uint8_t* qual;
+  int64_t B, L, Lb;
+  const uint8_t* levels;  // ascending, nonzero
+  int n_levels;
+  int planes;
+  uint8_t* out;
+};
+
+static void rankplanes_body(int64_t lo, int64_t hi, void* vctx) {
+  RankPlanesCtx* c = static_cast<RankPlanesCtx*>(vctx);
+  const int64_t L = c->L, Lb = c->Lb;
+#if defined(__SSE2__)
+  __m128i thr[8];
+  for (int k = 0; k < c->n_levels; k++) {
+    thr[k] = _mm_set1_epi8(char(c->levels[k]));
+  }
+  const __m128i hibit = _mm_set1_epi8(char(0x80));
+  for (int64_t b = lo; b < hi; b++) {
+    const uint8_t* row = c->qual + b * L;
+    int64_t j = 0;
+    for (; j + 16 <= L; j += 16) {
+      __m128i x = _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + j));
+      // v = 1 + rank(x) = sum_k (x >= levels[k]); padding NULs -> 0.
+      // unsigned x >= t  <=>  max_epu8(x, t) == x
+      __m128i v = _mm_setzero_si128();
+      for (int k = 0; k < c->n_levels; k++) {
+        __m128i ge = _mm_cmpeq_epi8(_mm_max_epu8(x, thr[k]), x);
+        v = _mm_sub_epi8(v, ge);  // ge is 0xFF == -1 per lane
+      }
+      for (int p = 0; p < c->planes; p++) {
+        uint8_t* o = c->out + (p * c->B + b) * Lb;
+        __m128i t = _mm_and_si128(_mm_slli_epi16(v, 7 - p), hibit);
+        int m = _mm_movemask_epi8(t);
+        o[j >> 3] = uint8_t(m & 0xff);
+        o[(j >> 3) + 1] = uint8_t(m >> 8);
+      }
+    }
+    if (j < L) {  // L % 16 == 8 tail
+      __m128i x = _mm_loadl_epi64(reinterpret_cast<const __m128i*>(row + j));
+      __m128i v = _mm_setzero_si128();
+      for (int k = 0; k < c->n_levels; k++) {
+        __m128i ge = _mm_cmpeq_epi8(_mm_max_epu8(x, thr[k]), x);
+        v = _mm_sub_epi8(v, ge);
+      }
+      for (int p = 0; p < c->planes; p++) {
+        uint8_t* o = c->out + (p * c->B + b) * Lb;
+        __m128i t = _mm_and_si128(_mm_slli_epi16(v, 7 - p), hibit);
+        o[j >> 3] = uint8_t(_mm_movemask_epi8(t) & 0xff);
+      }
+    }
+  }
+#else
+  for (int64_t b = lo; b < hi; b++) {
+    const uint8_t* row = c->qual + b * L;
+    for (int64_t j = 0; j < L; j += 8) {
+      uint8_t v8[8] = {0};
+      for (int k = 0; k < 8 && j + k < L; k++) {
+        uint8_t q = row[j + k];
+        uint8_t v = 0;
+        for (int t = 0; t < c->n_levels; t++) v += (q >= c->levels[t]);
+        v8[k] = v;
+      }
+      for (int p = 0; p < c->planes; p++) {
+        uint8_t acc = 0;
+        for (int k = 0; k < 8; k++) acc |= uint8_t(((v8[k] >> p) & 1) << k);
+        c->out[(p * c->B + b) * Lb + (j >> 3)] = acc;
+      }
+    }
+  }
+#endif
+}
+
 }  // namespace
 
 extern "C" {
+
+// Distinct byte values of a qual matrix (parallel 256-bit presence
+// bitmap).  Writes ascending NONZERO values into out_levels (cap 256)
+// and returns the count (zero bytes are row padding and excluded).
+// One pass replaces the min/max scan AND enables the rank wire: when a
+// chunk has <= 7 distinct quality levels (binned Illumina), chars ship
+// as dictionary ranks in ceil(log2(levels+1)) bit-planes instead of the
+// band width's 6.
+int sk_qual_levels(const uint8_t* qual, int64_t n, uint8_t* out_levels,
+                   int n_threads) {
+  LevelsCtx ctx;
+  ctx.p = qual;
+  for (int k = 0; k < 4; k++) ctx.seen[k].store(0);
+  parallel_for(n, n_threads, levels_body, &ctx);
+  int cnt = 0;
+  for (int v = 1; v < 256; v++) {
+    if (ctx.seen[v >> 6].load() >> (v & 63) & 1) {
+      out_levels[cnt++] = uint8_t(v);
+    }
+  }
+  return cnt;
+}
+
+// Rank-dictionary bit-plane pack: v = 1 + rank of q in `levels`
+// (ascending, n_levels <= 8; caller guarantees every nonzero byte is IN
+// `levels`), padding NULs stay 0, packed into `planes` LSB-first
+// bit-planes like sk_bitplanes.  L must be a multiple of 8.
+int sk_rankplanes(const uint8_t* qual, int64_t B, int64_t L,
+                  const uint8_t* levels, int n_levels, int planes,
+                  uint8_t* out, int n_threads) {
+  if (L % 8 || n_levels < 1 || n_levels > 8) return 1;
+  RankPlanesCtx ctx{qual, B, L, L / 8, levels, n_levels, planes, out};
+  parallel_for(B, n_threads, rankplanes_body, &ctx);
+  return 0;
+}
 
 // min (over nonzero bytes) / max (over all) of a packed qual matrix.
 // Returns 0; *out_min = 255 if every byte is zero.

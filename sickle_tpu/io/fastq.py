@@ -176,7 +176,55 @@ def qual_minmax(qual: np.ndarray) -> Tuple[int, int]:
     return mn, mx
 
 
-QUAL_PLANES = 6  # wire planes: fixed so device shapes never recompile
+QUAL_PLANES = 6  # band-wire plane cap (adaptive: chunks ship fewer)
+
+
+def qual_levels(qual: np.ndarray) -> np.ndarray:
+    """Ascending distinct NONZERO byte values of a packed qual matrix
+    (zero bytes are row padding).  One parallel pass; subsumes
+    qual_minmax (min/max = ends) and gates the rank wire."""
+    lib = native.get_lib()
+    flat = qual.reshape(-1)
+    if lib is not None and flat.flags.c_contiguous:
+        import ctypes
+
+        out = np.empty(256, np.uint8)
+        n = lib.sk_qual_levels(native.ptr(flat, ctypes.c_uint8), flat.size,
+                               native.ptr(out, ctypes.c_uint8),
+                               native.N_THREADS)
+        return out[:n].copy()
+    vals = np.unique(flat)
+    return vals[vals != 0]
+
+
+def qual_rank_planes(qual: np.ndarray, levels: np.ndarray,
+                     planes: int) -> np.ndarray:
+    """Rank-dictionary wire: each char ships as 1 + its rank in
+    ``levels`` (ascending distinct chunk values, <= 8), packed into
+    LSB-first bit-planes like :func:`qual_bitplanes`.  Binned-quality
+    data (modern Illumina: 4-8 levels spread over a wide band) drops
+    from 6 planes to ceil(log2(levels+1)) — e.g. NovaSeq's 4 levels ship
+    3 planes = 57 B per 150 bp read.  Device inverse: decode_planes then
+    a tiny static LUT (ops/trim.apply_rank_lut)."""
+    B, L = qual.shape
+    lib = native.get_lib()
+    levels = np.ascontiguousarray(levels, np.uint8)
+    if lib is not None and qual.flags.c_contiguous:
+        import ctypes
+
+        out = np.empty((planes, B, L // 8), np.uint8)
+        rc = lib.sk_rankplanes(
+            native.ptr(qual, ctypes.c_uint8), B, L,
+            native.ptr(levels, ctypes.c_uint8), levels.size, planes,
+            native.ptr(out, ctypes.c_uint8), native.N_THREADS)
+        if rc == 0:
+            return out
+    v = np.searchsorted(levels, qual.reshape(-1), side="right").astype(np.uint8)
+    v = v.reshape(B, L)  # 0 for padding NULs, 1 + rank for real chars
+    out = np.empty((planes, B, L // 8), np.uint8)
+    for p in range(planes):
+        out[p] = np.packbits((v >> p) & 1, axis=1, bitorder="little")
+    return out
 
 
 def qual_bitplanes(qual: np.ndarray, bias: int,

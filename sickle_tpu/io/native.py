@@ -112,6 +112,11 @@ def get_lib():
         ]
         lib.sk_qual_minmax.restype = ctypes.c_int
         lib.sk_qual_minmax.argtypes = [pu8, i64, pu8, pu8, ctypes.c_int]
+        lib.sk_qual_levels.restype = ctypes.c_int
+        lib.sk_qual_levels.argtypes = [pu8, i64, pu8, ctypes.c_int]
+        lib.sk_rankplanes.restype = ctypes.c_int
+        lib.sk_rankplanes.argtypes = [pu8, i64, i64, pu8, ctypes.c_int,
+                                      ctypes.c_int, pu8, ctypes.c_int]
         lib.sk_bitplanes.restype = ctypes.c_int
         lib.sk_bitplanes.argtypes = [pu8, i64, i64, u8, ctypes.c_int, pu8,
                                      ctypes.c_int]

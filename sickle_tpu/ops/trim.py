@@ -108,6 +108,17 @@ def decode_planes(planes: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(bits * w, axis=0)
 
 
+def apply_rank_lut(v: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """Decode rank-wire values: ``q = lut[v]`` for v in [1, len(lut)),
+    0 for padding (io.fastq.qual_rank_planes is the host-side inverse).
+    The LUT is tiny and static-size (<= 8), so this expands to a fused
+    select chain — no gather (lane gathers are catastrophic on TPU)."""
+    q = jnp.zeros_like(v)
+    for k in range(1, lut.shape[0]):
+        q = jnp.where(v == k, lut[k], q)
+    return q
+
+
 def compute_cuts(
     seq: jnp.ndarray,  # uint8[B, L] sequence bytes (only read when trunc_n)
     qual: jnp.ndarray,  # uint8[B, L] raw ASCII quality bytes

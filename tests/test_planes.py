@@ -172,3 +172,88 @@ def test_trunc_n_uses_seq_path_and_matches():
     out_r, c_r, _ = _run(params, data, no_planes=True)
     assert out_p == out_r
     assert c_p.total == 2500
+
+
+@pytest.mark.parametrize("p", [1, 2, 3, 4, 5, 6])
+def test_bitplane_roundtrip_adaptive_counts(p):
+    """Round-trip at every adaptive plane count (round-4: the wire ships
+    exactly ceil(log2(band)) planes — binned Illumina quals ship 2-3)."""
+    import jax.numpy as jnp
+
+    from sickle_tpu.ops.trim import decode_planes
+
+    rng = np.random.default_rng(p)
+    # chars 59 .. 59 + 2^p - 2 => v = q - 58 in [1, 2^p - 1]: fits p planes
+    lo, hi = 59, 59 + (1 << p) - 1
+    qual, _ = _random_qual(rng, 16, 64, lo=lo, hi=hi)
+    bias = 58
+    planes = qual_bitplanes(qual, bias, p)
+    assert planes.shape == (p, 16, 8)
+    v = np.asarray(decode_planes(jnp.asarray(planes)))
+    vref = np.where(qual > 0, qual.astype(np.int32) - bias, 0)
+    np.testing.assert_array_equal(v, vref)
+
+
+def test_engine_adaptive_planes_on_binned_quals():
+    """Binned-quality data (4 distinct levels) must ship 2 planes
+    (~1/4 of the 8-bit wire) and stay byte-identical with planes off."""
+    rng = np.random.default_rng(42)
+    levels = np.array([ord("#"), ord("0"), ord(":"), ord("F")], np.uint8)
+    recs = []
+    for i in range(600):
+        L = 100
+        q = rng.choice(levels, L).astype(np.uint8)
+        s = rng.choice(list(b"ACGT"), L).astype(np.uint8)
+        recs.append(b"@r%d\n%s\n+\n%s\n" % (i, s.tobytes(), q.tobytes()))
+    data = b"".join(recs)
+    params = TrimParams(qualtype=QualityType.SANGER, qual_threshold=20,
+                        length_threshold=20)
+    out_p, c_p, h2d_p = _run(params, data, no_planes=False)
+    out_r, c_r, h2d_r = _run(params, data, no_planes=True)
+    assert out_p == out_r
+    assert c_p.total == 600
+    # 4 distinct LEVELS over a 36-char band: the rank wire ships
+    # ceil(log2(4+1)) = 3 planes (the band wire would need 6)
+    # last chunk: 88 records -> 128 pow2-padded rows of stride 104
+    assert h2d_r == 128 * 104
+    assert h2d_p <= 3 * 128 * 104 // 8 + 32  # 3 planes + the 8-entry LUT
+
+
+def test_rank_planes_roundtrip():
+    """Host rank-encode (C++ and numpy fallback) -> device LUT decode
+    recovers the exact decoded qualities."""
+    import jax.numpy as jnp
+
+    from sickle_tpu.io import native
+    from sickle_tpu.io.fastq import qual_levels, qual_rank_planes
+    from sickle_tpu.ops.trim import apply_rank_lut, decode_planes
+
+    rng = np.random.default_rng(3)
+    levels = np.array([35, 45, 56, 70], np.uint8)  # NovaSeq-style chars
+    qual = rng.choice(levels, (32, 64)).astype(np.uint8)
+    qual[0, 40:] = 0  # padding
+    qual[5] = 0
+    got_levels = qual_levels(qual)
+    np.testing.assert_array_equal(got_levels, levels)
+    p = 3  # ceil(log2(4+1))
+    planes = qual_rank_planes(qual, levels, p)
+    assert planes.shape == (p, 32, 8)
+    v = np.asarray(decode_planes(jnp.asarray(planes)))
+    vref = np.searchsorted(levels, qual.reshape(-1), side="right").reshape(32, 64)
+    np.testing.assert_array_equal(v, vref)
+    lut = np.zeros(1 << p, np.int32)
+    lut[1:5] = levels.astype(np.int32) - 33
+    q = np.asarray(apply_rank_lut(jnp.asarray(v), jnp.asarray(lut)))
+    qref = np.where(qual > 0, qual.astype(np.int32) - 33, 0)
+    np.testing.assert_array_equal(q, qref)
+
+    # numpy fallback path agrees with the C++ path
+    if native.available():
+        import sickle_tpu.io.native as nat
+        real = nat.get_lib
+        try:
+            nat.get_lib = lambda: None
+            planes_np = qual_rank_planes(qual, levels, p)
+        finally:
+            nat.get_lib = real
+        np.testing.assert_array_equal(planes_np, planes)
