@@ -300,17 +300,17 @@ def main():
         # honest kernel number, one RPC pair on the tunneled link.
         try:
             rates = _device_scan_rate(src, params, cfg0, warm_chunk)
-            # headline = the engine's DEFAULT kernel (round-3 ADVICE: the
-            # artifact must reflect what the engine actually runs); other
-            # kernels are recorded alongside
-            default_kernel = os.environ.get("SICKLE_TPU_KERNEL", "jnp") or "jnp"
+            # headline = the engine's ACTUAL headline device program
+            # (round-3 ADVICE): the planes step (decode + cuts) that the
+            # se pass executes; other kernels are recorded alongside
+            default_kernel = "engine_planes"
             gb_rate = rates.get(default_kernel, max(rates.values(), default=0.0))
             extra["device_scan_gb_per_s"] = {
                 "value": round(gb_rate, 1), "unit": "GB/s",
                 "kernel": default_kernel,
                 "all_kernels_gb_per_s": {k: round(v, 1) for k, v in rates.items()},
                 "vs_baseline": round(gb_rate / HBM_ROOFLINE_GB_S, 3),
-                "note": "vs v5e HBM roofline; chained device-resident timing, one RPC pair",
+                "note": "vs v5e HBM roofline; salted marginal-cost chained timing (PALLAS_TPU_r04 methodology)",
             }
             log(f"device scan: {gb_rate:.1f} GB/s "
                 f"({gb_rate / HBM_ROOFLINE_GB_S:.1%} of v5e HBM roofline)")
@@ -417,45 +417,97 @@ def _device_scan_rate(src, params, cfg, warm_chunk, iters=32):
     import numpy as np
     from jax import lax
 
-    from sickle_tpu.io.fastq import pack_fastq
-    from sickle_tpu.ops.trim import compute_cuts
+    from sickle_tpu.io.fastq import pack_fastq, qual_bitplanes
+    from sickle_tpu.ops.trim import (compute_cuts, compute_cuts_from_q,
+                                     decode_planes)
     from sickle_tpu.ops.trim_pallas import compute_cuts_pallas
 
     packed = pack_fastq(warm_chunk, batch_multiple=1 << 14, need_seq=False)
     reps = max(1, (1 << 16) // packed.qual.shape[0])
+    L = packed.qual.shape[1]
     q0 = jax.device_put(packed.qual)  # 2.5 MB wire; tiled on device below
     lens_small = jax.device_put(packed.lengths.astype(np.int32))
+    # the engine's ACTUAL headline device program is the planes step:
+    # bit-plane decode + derive-lengths + cuts (uniform window)
+    from sickle_tpu.io.fastq import qual_minmax
 
-    def make_run(kernel):
+    mn, _ = qual_minmax(packed.qual)
+    bias = mn - 1
+    planes0 = jax.device_put(qual_bitplanes(packed.qual, bias))
+    offset = 33  # sanger fixture
+
+    def make_run(kernel, K, planes_input=False):
         @jax.jit
-        def run(q_small):
-            q = jnp.tile(q_small, (reps, 1))
+        def run(x_small, salt):
+            if planes_input:
+                x = jnp.tile(x_small, (1, reps, 1))
+                x = x.at[0, 0, 1].set((salt & 0x1f).astype(jnp.uint8))
+            else:
+                x = jnp.tile(x_small, (reps, 1))
+                x = x.at[0, 1].set((salt & 0x1f).astype(jnp.uint8) + 66)
             lens = jnp.tile(lens_small, reps)
             def body(i, carry):
-                q, acc = carry
-                five, three, bad = kernel(q, lens)
-                q = q.at[0, 0].set((three[0] % 60 + 33).astype(jnp.uint8))
-                return q, acc + three.sum()
-            return lax.fori_loop(0, iters, body, (q, jnp.int32(0)))[1]
+                x, acc = carry
+                three = kernel(x, lens)
+                if planes_input:
+                    x = x.at[0, 0, 0].set((three[0] % 60).astype(jnp.uint8))
+                else:
+                    x = x.at[0, 0].set((three[0] % 60 + 33).astype(jnp.uint8))
+                return x, acc + three.sum()
+            return lax.fori_loop(0, K, body, (x, jnp.int32(0)))[1]
 
         return run
 
+    def planes_step(planes, lens_unused):
+        # mirrors engine step_planes (uniform): decode + derive + cuts
+        v = decode_planes(planes)
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        lengths = jnp.min(jnp.where(v == 0, lane, v.shape[1]), axis=1)
+        five, three = compute_cuts_from_q(v + (bias - offset), lengths,
+                                          params, uniform_len=150)
+        return three
+
     rows = packed.qual.shape[0] * reps
     rates = {}
-    for name, kernel in (
-        ("jnp", lambda q, l: compute_cuts(q, q, l, params)),
-        ("pallas", lambda q, l: compute_cuts_pallas(q, q, l, params,
-                                                    tile_b=256)),
+    _salt = [12345]
+    for name, kernel, x0, pin in (
+        ("engine_planes", planes_step, planes0, True),
+        ("engine_raw",
+         lambda q, l: compute_cuts(q, q, l, params, uniform_len=150)[1],
+         q0, False),
+        ("jnp", lambda q, l: compute_cuts(q, q, l, params)[1], q0, False),
+        ("pallas_uniform",
+         lambda q, l: compute_cuts_pallas(q, q, l, params, tile_b=256,
+                                          uniform_len=150)[1], q0, False),
     ):
         try:
-            run = make_run(kernel)
-            jax.block_until_ready(run(q0))  # compile (local) + warm run
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(q0))
-            dt = time.perf_counter() - t0
-            rate = rows * packed.qual.shape[1] * iters / dt / 1e9
+            # marginal-cost chained timing with per-call unique salts
+            # (round-4 methodology: the tunneled backend dedups identical
+            # executions server-side, and single-depth totals carry fixed
+            # overheads + chip co-tenancy noise; per-iter =
+            # (T(K2)-T(K1))/(K2-K1), min of 3)
+            K1, K2 = 64, 256
+            r1 = make_run(kernel, K1, planes_input=pin)
+            r2 = make_run(kernel, K2, planes_input=pin)
+            _salt[0] += 1
+            jax.block_until_ready(r1(x0, jnp.int32(_salt[0])))  # compile
+            _salt[0] += 1
+            jax.block_until_ready(r2(x0, jnp.int32(_salt[0])))
+
+            def best(run):
+                b = 1e9
+                for _ in range(3):
+                    _salt[0] += 1
+                    s = jnp.int32(_salt[0])
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(run(x0, s))
+                    b = min(b, time.perf_counter() - t0)
+                return b
+
+            per_iter = max((best(r2) - best(r1)) / (K2 - K1), 1e-9)
+            rate = rows * L / per_iter / 1e9
             log(f"device scan [{name}]: {rate:.1f} GB/s "
-                f"({dt * 1e3 / iters:.2f} ms per {rows>>10}k-row batch)")
+                f"({per_iter * 1e3:.3f} ms per {rows>>10}k-row batch)")
             rates[name] = rate
         except Exception as e:
             log(f"device scan [{name}] skipped: {e}")

@@ -425,16 +425,17 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
     if os.environ.get("SICKLE_TPU_KERNEL") == "pallas":
         from ..ops.trim_pallas import compute_cuts_pallas
 
-        def kernel(seq, qual, lengths):
+        def kernel(seq, qual, lengths, ul=None):
             return compute_cuts_pallas(
-                seq, qual, lengths, params, tile_b=_tile_for(seq.shape[0])
+                seq, qual, lengths, params, tile_b=_tile_for(seq.shape[0]),
+                uniform_len=ul,
             )
     else:
-        def kernel(seq, qual, lengths):
-            return compute_cuts(seq, qual, lengths, params)
+        def kernel(seq, qual, lengths, ul=None):
+            return compute_cuts(seq, qual, lengths, params, uniform_len=ul)
 
-    def encode(seq, qual, lengths):
-        five, three, bad = kernel(seq, qual, lengths)
+    def encode(seq, qual, lengths, ul=None):
+        five, three, bad = kernel(seq, qual, lengths, ul)
         flagged = (bad < lengths).astype(jnp.int32)
         if qual.shape[1] < MAX_PACKED_L:
             return (three + 1) | (flagged << 15) | ((five + 1) << 16)
@@ -476,44 +477,62 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
     else:
         put2 = put1 = put3 = put0 = lambda x: x  # noqa: E731
 
-    @jax.jit
-    def step_q(qual):  # no -n: qual only
-        lengths = derive_lengths(qual)
-        return encode(qual, qual, lengths)  # seq unused by the kernel
+    def make_steps(ul=None):
+        """The wire-format device steps, at a STATIC uniform read length
+        ``ul`` or generic (None).  Uniform chunks — the common Illumina
+        case, including pow2-padded tails (padding rows are length 0) —
+        get a compile-time window size: the O(log wmax) per-row shift
+        chain collapses to ONE static shift (round-4 kernel rework)."""
 
-    @jax.jit
-    def step_planes(planes, bias):
-        # bit-plane wire format (io.fastq.qual_bitplanes): 6 planes ship
-        # 25% fewer H2D bytes than raw u8 rows, the binding cost when the
-        # byte-metered link throttles (PERF_NOTES.md).  The host min/max
-        # gate proved every char in-range, so no bad-quality flag bits.
-        v = decode_planes(planes)  # int32[B, L]; v == 0 marks padding
-        L = v.shape[1]
-        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-        lengths = jnp.min(jnp.where(v == 0, lane, L), axis=1)
-        five, three = compute_cuts_from_q(v + bias, lengths, params)
-        return (three + 1) | ((five + 1) << 16)
+        @jax.jit
+        def step_q(qual):  # no -n: qual only
+            lengths = derive_lengths(qual)
+            return encode(qual, qual, lengths, ul)  # seq unused
 
-    @jax.jit
-    def step_planes_rank(planes, lut):
-        # rank wire (dictionary encoding): v = 1 + rank of the char in
-        # the chunk's <=7 distinct levels; lut maps rank -> decoded
-        # quality.  Binned Illumina data ships ceil(log2(levels+1))
-        # planes regardless of how wide the LEVEL BAND is — 3 planes =
-        # 57 B per 150 bp read vs the band wire's 6.
-        v = decode_planes(planes)  # int32[B, L]; 0 marks padding
-        L = v.shape[1]
-        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-        lengths = jnp.min(jnp.where(v == 0, lane, L), axis=1)
-        q = apply_rank_lut(v, lut)
-        five, three = compute_cuts_from_q(q, lengths, params)
-        return (three + 1) | ((five + 1) << 16)
+        @jax.jit
+        def step_planes(planes, bias):
+            # bit-plane wire format (io.fastq.qual_bitplanes): adaptive
+            # plane count ships 1/8..6/8 of the raw u8 bytes, the
+            # binding cost when the byte-metered link throttles
+            # (PERF_NOTES.md).  The host levels gate proved every char
+            # in-range, so no bad-quality flag bits.
+            v = decode_planes(planes)  # int32[B, L]; v == 0 marks padding
+            L = v.shape[1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            lengths = jnp.min(jnp.where(v == 0, lane, L), axis=1)
+            five, three = compute_cuts_from_q(v + bias, lengths, params,
+                                              uniform_len=ul)
+            return (three + 1) | ((five + 1) << 16)
 
-    @jax.jit
-    def step_sq(stacked):  # -n: [2, B, L] seq+qual in one transfer
-        seq, qual = stacked[0], stacked[1]
-        lengths = derive_lengths(qual)
-        return encode(seq, qual, lengths)
+        @jax.jit
+        def step_planes_rank(planes, lut):
+            # rank wire (dictionary encoding): v = 1 + rank of the char
+            # in the chunk's <=7 distinct levels; lut maps rank ->
+            # decoded quality.  Binned Illumina data ships
+            # ceil(log2(levels+1)) planes regardless of how wide the
+            # LEVEL BAND is — 3 planes = 57 B per 150 bp read.
+            v = decode_planes(planes)  # int32[B, L]; 0 marks padding
+            L = v.shape[1]
+            lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            lengths = jnp.min(jnp.where(v == 0, lane, L), axis=1)
+            q = apply_rank_lut(v, lut)
+            five, three = compute_cuts_from_q(q, lengths, params,
+                                              uniform_len=ul)
+            return (three + 1) | ((five + 1) << 16)
+
+        @jax.jit
+        def step_sq(stacked):  # -n: [2, B, L] seq+qual in one transfer
+            seq, qual = stacked[0], stacked[1]
+            lengths = derive_lengths(qual)
+            return encode(seq, qual, lengths, ul)
+
+        return {"q": step_q, "planes": step_planes,
+                "rank": step_planes_rank, "sq": step_sq}
+
+    import functools as _ft
+
+    base_steps = make_steps(None)
+    _uniform_steps = _ft.lru_cache(maxsize=4)(make_steps)
 
     @jax.jit
     def step_explicit(seq, qual, lengths):  # fallback: NUL bytes in qual
@@ -529,7 +548,8 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
     no_planes = bool(os.environ.get("SICKLE_TPU_NO_PLANES"))
 
     def warmup_aot(L: int, min_rows: int = 2048,
-                   planes=(QUAL_PLANES,), ranks=()) -> None:
+                   planes=(QUAL_PLANES,), ranks=(),
+                   read_len: Optional[int] = None) -> None:
         """Compile the steady-state executables WITHOUT touching the device.
 
         ``jit.lower(...).compile()`` runs the (local) AOT compiler only —
@@ -543,28 +563,32 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
         format plus every requested bit-plane count is compiled (the
         plane count is per-chunk data-dependent — pass the counts the
         run's data can produce; a miss compiles inline, locally).
+        ``read_len``: the run's uniform read length — the engine will
+        dispatch the uniform-window executables, so THOSE are compiled.
         """
         import jax.numpy as _jnp
 
+        steps = (_uniform_steps(read_len) if read_len is not None
+                 else base_steps)
         rows = SL
         while rows >= min_rows or rows == SL:
             if needs_seq:
-                step_sq.lower(
+                steps["sq"].lower(
                     jax.ShapeDtypeStruct((2, rows, L), _jnp.uint8)).compile()
             else:
                 if L % 8 == 0 and not no_planes:
                     for p in planes:
-                        step_planes.lower(
+                        steps["planes"].lower(
                             jax.ShapeDtypeStruct((p, rows, L // 8),
                                                  _jnp.uint8),
                             jax.ShapeDtypeStruct((), _jnp.int32)).compile()
                     for p in ranks:
-                        step_planes_rank.lower(
+                        steps["rank"].lower(
                             jax.ShapeDtypeStruct((p, rows, L // 8),
                                                  _jnp.uint8),
                             jax.ShapeDtypeStruct((1 << p,),
                                                  _jnp.int32)).compile()
-                step_q.lower(
+                steps["q"].lower(
                     jax.ShapeDtypeStruct((rows, L), _jnp.uint8)).compile()
             if rows & (rows - 1):  # mesh-rounded SL: drop to pow2 ladder
                 rows = 1 << (rows.bit_length() - 1)
@@ -671,25 +695,32 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
             levels, p = plan[1], plan[2]
             lut = np.zeros(1 << p, np.int32)
             lut[1 : 1 + levels.size] = levels.astype(np.int32) - enc_offset
+        # uniform-length chunk (incl. length-0 padding rows): dispatch the
+        # static-window executables — one shift instead of the per-row
+        # shift chain on device
+        mx = int(lengths.max()) if lengths.size else 0
+        uniform = (mx > 0 and int(np.count_nonzero(
+            (lengths == mx) | (lengths == 0))) == lengths.size)
+        steps = _uniform_steps(mx) if uniform else base_steps
         futs: list = []
         outs: list = []
         h2d = 0
         for k, (i, n) in enumerate(_pieces(B)):
             if needs_seq:
-                futs.append(step_sq(put3(
+                futs.append(steps["sq"](put3(
                     np.stack([seq[i : i + n], qual[i : i + n]]))))
                 h2d += 2 * n * qual.shape[1]
             elif plan is not None:
                 planes = planes_list[k]
                 if plan[0] == "rank":
-                    futs.append(step_planes_rank(put3(planes), put0(lut)))
+                    futs.append(steps["rank"](put3(planes), put0(lut)))
                     h2d += planes.nbytes + lut.nbytes
                 else:
-                    futs.append(step_planes(
+                    futs.append(steps["planes"](
                         put3(planes), put0(np.int32(plan[1] - enc_offset))))
                     h2d += planes.nbytes + 4
             else:
-                futs.append(step_q(put2(qual[i : i + n])))
+                futs.append(steps["q"](put2(qual[i : i + n])))
                 h2d += n * qual.shape[1]
             if len(futs) > inflight:
                 outs.append(np.asarray(futs.pop(0)))

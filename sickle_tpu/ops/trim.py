@@ -125,6 +125,7 @@ def compute_cuts(
     lengths: jnp.ndarray,  # int32[B]; 0 marks padding rows
     params: TrimParams,
     formulation: str = "auto",
+    uniform_len: Optional[int] = None,
 ):
     """Compute per-read cutsites.
 
@@ -139,7 +140,8 @@ def compute_cuts(
     """
     lens = lengths.astype(jnp.int32)
     q, first_bad = decode_check(qual, lens, params.qualtype)
-    five, three = compute_cuts_from_q(q, lens, params, seq, formulation)
+    five, three = compute_cuts_from_q(q, lens, params, seq, formulation,
+                                      uniform_len)
     return five, three, first_bad
 
 
@@ -149,90 +151,122 @@ def compute_cuts_from_q(
     params: TrimParams,
     seq: Optional[jnp.ndarray] = None,  # only read when trunc_n
     formulation: str = "auto",
+    uniform_len: Optional[int] = None,
+    trigger: str = "reduce",
 ):
     """Core cut computation on already-decoded qualities.
 
     Entry point for wire formats that decode on device (bit-planes via
     ``decode_planes``, where ``q = v + bias`` is computed by the caller
     and range errors are excluded host-side).
+
+    The sequential trigger structure is resolved with PREFIX-OR masks
+    instead of first-index reductions + cross-row broadcasts (round-4
+    rework): ``j >= i5  <=>  cumOR(hi)[j]``, so the 3' trigger and both
+    within-window scans become independent fused masks — two lane
+    reductions total instead of six, and no i5/i3 broadcast dependency
+    chain.  ``uniform_len`` (static): every non-padding row has that
+    length — the common Illumina case — so the window size is a
+    compile-time constant and the per-row shift chain collapses to ONE
+    static shift.
     """
     B, L = q.shape
     t = jnp.int32(params.qual_threshold)
     lthr = jnp.int32(params.length_threshold)
     lens = lengths.astype(jnp.int32)
 
-    # window size: int(0.1*len) == len // 10; if 0, whole read (trim.cpp:8,30)
-    w = lens // 10
-    w = jnp.where(w == 0, lens, w)
-
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     in_read = lane < lens[:, None]
 
     # Rolling sums via prefix-sum difference, expressed through the
     # transform D[j] = C[j] - t*j so that ``W[i] >= t*w <=> D[i+w] >= D[i]``
-    # (C = exclusive prefix).  The per-row shift by w is resolved with a
-    # static select-merge loop over the possible window sizes — a
-    # lane-axis ``take_along_axis`` gather lowers catastrophically on TPU
-    # (~200ms per 64k batch measured on v5e; the select chain fuses).
+    # (C = exclusive prefix).
     qv = jnp.where(in_read, q, 0)
     csum = jnp.cumsum(qv, axis=1)
     c_excl = csum - qv  # C[j] = sum q[0..j-1], j in [0, L)
     d = c_excl - t * lane  # D[j]
     d_last = (csum[:, L - 1] - t * L)[:, None]  # D[L]
 
-    if formulation == "auto":
-        formulation = "shift" if jax.default_backend() == "tpu" else "gather"
-    if formulation == "shift":
-        # Binary decomposition of the per-row shift: compose conditional
-        # STATIC shifts by powers of two, padding with D[L], so
-        # dw[i] = D[min(i + w, L)] in O(log wmax) fused elementwise
-        # passes — no gather (lane-gather is ~1000x slower on TPU) and no
-        # O(L/10) unrolled select chain (compile explosion on long reads).
-        # Exact: each applied step adds 2^k to the accumulated shift and
-        # the D[L] fill propagates through later steps unchanged.
+    if uniform_len is not None:
+        # static window size: int(0.1*len) == len // 10 (trim.cpp:8,30)
+        ws = uniform_len // 10
+        if ws == 0:
+            ws = uniform_len
+        w = jnp.where(lens > 0, ws, 0)
         d_last_row = jnp.broadcast_to(d_last, (B, L))
-        wmax = max(9, L // 10)
-        w2d = w[:, None]
-        dw = d
-        for k in range(wmax.bit_length()):
-            s = 1 << k
-            shifted = (
-                jnp.concatenate([dw[:, s:], d_last_row[:, :s]], axis=1)
-                if s < L
-                else d_last_row
-            )
-            dw = jnp.where((w2d >> k) & 1 == 1, shifted, dw)
+        dw = (jnp.concatenate([d[:, ws:], d_last_row[:, :ws]], axis=1)
+              if ws < L else d_last_row)
     else:
-        # CPU/GPU: one gather of D[i+w] compiles and runs faster than the
-        # shift chain
-        d_full = jnp.concatenate([d, d_last], axis=1)  # D[j], j in [0, L]
-        iw = jnp.minimum(lane + w[:, None], L)
-        dw = jnp.take_along_axis(d_full, iw, axis=1)
+        # window size: int(0.1*len) == len // 10; if 0, whole read
+        w = lens // 10
+        w = jnp.where(w == 0, lens, w)
+        if formulation == "auto":
+            formulation = ("shift" if jax.default_backend() == "tpu"
+                           else "gather")
+        if formulation == "shift":
+            # Binary decomposition of the per-row shift: compose
+            # conditional STATIC shifts by powers of two, padding with
+            # D[L], so dw[i] = D[min(i + w, L)] in O(log wmax) fused
+            # elementwise passes — no gather (lane-gather is ~1000x
+            # slower on TPU) and no O(L/10) unrolled select chain
+            # (compile explosion on long reads).  Exact: each applied
+            # step adds 2^k to the accumulated shift and the D[L] fill
+            # propagates through later steps unchanged.
+            d_last_row = jnp.broadcast_to(d_last, (B, L))
+            wmax = max(9, L // 10)
+            w2d = w[:, None]
+            dw = d
+            for k in range(wmax.bit_length()):
+                s = 1 << k
+                shifted = (
+                    jnp.concatenate([dw[:, s:], d_last_row[:, :s]], axis=1)
+                    if s < L
+                    else d_last_row
+                )
+                dw = jnp.where((w2d >> k) & 1 == 1, shifted, dw)
+        else:
+            # CPU/GPU: one gather of D[i+w] compiles and runs faster
+            # than the shift chain
+            d_full = jnp.concatenate([d, d_last], axis=1)  # D[0..L]
+            iw = jnp.minimum(lane + w[:, None], L)
+            dw = jnp.take_along_axis(d_full, iw, axis=1)
 
     ii = lane  # window start i; D[i+w] vs D[i] defined for i <= len - w
     i_valid = ii <= (lens - w)[:, None]
     hi = i_valid & (dw >= d)
     lo = i_valid & (dw < d)
 
-    i5 = _first_index(hi)  # first window with avg >= t
-    found_five = (i5 < BIG) & (lens > 0)
-
-    if params.no_fiveprime:
-        start3 = jnp.zeros_like(i5)
+    if trigger == "prefix":
+        # prefix-OR form: prefix_hi[j] <=> exists valid window i <= j
+        # with avg >= t <=> j >= i5.  Fewer reductions, two extra
+        # cumsums — wins inside the MXU Pallas kernel (matmul prefix),
+        # loses in XLA (r4 on-chip: 3.05 vs 1.49 ms / 64k x 152).
+        prefix_hi = jnp.cumsum(hi.astype(jnp.int32), axis=1) > 0
+        found_five = prefix_hi[:, L - 1] & (lens > 0)
+        lo3 = lo if params.no_fiveprime else (lo & prefix_hi)
+        prefix_lo3 = jnp.cumsum(lo3.astype(jnp.int32), axis=1) > 0
+        three_trig = prefix_lo3[:, L - 1]
+        five_mask = in_read & (q >= t) & prefix_hi
+        three_mask = in_read & (q < t) & prefix_lo3
     else:
-        start3 = i5  # 3' can only trigger once 5' was found (same iteration ok)
-    i3 = _first_index(lo & (ii >= start3[:, None]))
-    three_trig = i3 < BIG
+        # first-index form (XLA fuses the masked min-reductions well)
+        i5 = _first_index(hi)
+        found_five = (i5 < BIG) & (lens > 0)
+        start3 = jnp.zeros_like(i5) if params.no_fiveprime else i5
+        i3 = _first_index(lo & (ii >= start3[:, None]))
+        three_trig = i3 < BIG
+        five_mask = in_read & (q >= t) & (lane >= i5[:, None])
+        three_mask = in_read & (q < t) & (lane >= i3[:, None])
 
     # 5' cut: first position >= i5 with q >= t (guaranteed inside the window)
     if params.no_fiveprime:
-        five = jnp.zeros_like(i5)
+        five = jnp.zeros_like(lens)
     else:
-        five = _first_index(in_read & (q >= t) & (lane >= i5[:, None]))
+        five = _first_index(five_mask)
         five = jnp.where(found_five, jnp.minimum(five, lens), 0)
 
     # 3' cut: first position >= i3 with q < t; stays len if never triggered
-    three_hit = _first_index(in_read & (q < t) & (lane >= i3[:, None]))
+    three_hit = _first_index(three_mask)
     three = jnp.where(three_trig, jnp.minimum(three_hit, lens), lens)
 
     # -n: truncate to the base BEFORE the first N (upstream semantics;
@@ -256,7 +290,9 @@ def compute_cuts_from_q(
     return five, three
 
 
-@functools.partial(jax.jit, static_argnames=("params", "formulation"))
+@functools.partial(jax.jit,
+                   static_argnames=("params", "formulation", "uniform_len"))
 def compute_cuts_jit(seq, qual, lengths, params: TrimParams,
-                     formulation: str = "auto"):
-    return compute_cuts(seq, qual, lengths, params, formulation)
+                     formulation: str = "auto",
+                     uniform_len: Optional[int] = None):
+    return compute_cuts(seq, qual, lengths, params, formulation, uniform_len)

@@ -85,11 +85,11 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
     # MXU path VMEM budget (round-3 ADVICE: L<=2048 near the cap could
     # exceed v5e VMEM): the L x L bf16 triangle plus its two i32 iota
     # intermediates (~10 L^2 bytes, assuming Mosaic materializes them) and
-    # ~12 live [TB, L] i32 intermediates must fit well under the 128 MiB
+    # ~12 live [TB, L] i32 intermediates must fit well inside the ~16 MiB
     # core VMEM with headroom for double-buffered input DMA.  Larger L
     # takes the roll-scan fallback below (correct at every L; only the
     # scan's cost model changes).
-    if 10 * L * L + 48 * TB * L <= (64 << 20):
+    if 10 * L * L + 48 * TB * L <= (10 << 20):
         base = min(qmin - offset, 0)
         qnn = qv - jnp.where(in_read, base, 0) if base else qv
         tri = (jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
@@ -178,10 +178,122 @@ def _trim_kernel(seq_ref, qual_ref, len_ref, five_ref, three_ref, bad_ref,
     three_ref[:] = jnp.where(keep, three, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "tile_b", "interpret"))
+def _trim_kernel_uniform_noseq(qual_ref, len_ref, band_ref, tri_ref,
+                               five_ref, three_ref, bad_ref, *, params, L,
+                               ul):
+    _trim_kernel_uniform(None, qual_ref, len_ref, band_ref, tri_ref,
+                         five_ref, three_ref, bad_ref, params=params, L=L,
+                         ul=ul)
+
+
+def _trim_kernel_uniform(seq_ref, qual_ref, len_ref, band_ref, tri_ref,
+                         five_ref, three_ref, bad_ref, *,
+                         params: TrimParams, L: int, ul: int):
+    """Uniform-read-length kernel (round-4): every non-padding row has
+    length ``ul`` (the common Illumina case; padding rows are length 0),
+    so the window size ``w`` is a COMPILE-TIME constant and the whole
+    sequential trigger structure rides the MXU:
+
+    * windowed sums  W[j] = sum q[j : j+w]  — one pair of exact bf16
+      nibble matmuls against a static band matrix (no cumsum, no per-row
+      shift chain);
+    * the 5'/3' trigger ordering — PREFIX-OR masks via one triangular
+      matmul each (``j >= i5  <=>  cumOR(hi)[j]``), replacing four
+      first-index reductions and their cross-row broadcast dependency.
+
+    Two lane reductions (five / three) remain on the VPU; everything
+    else is a short fused elementwise chain plus four small matmuls.
+    """
+    offset, qmin, qmax = QUALITY_CONSTANTS[params.qualtype]
+    t = params.qual_threshold
+    lthr = params.length_threshold
+
+    lens = len_ref[:].astype(jnp.int32)  # [TB, 1]; ul or 0
+    TB = lens.shape[0]
+    row_valid = lens > 0
+    raw = qual_ref[:].astype(jnp.int32)  # [TB, L]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, L), 1)
+    in_read = row_valid & (lane < ul)
+
+    badm = in_read & ((raw < qmin) | (raw > qmax))
+    bad_ref[:] = _first_col(badm, lane)
+
+    q = raw - offset
+    qv = jnp.where(in_read, q, 0)
+
+    w = ul // 10
+    if w == 0:
+        w = ul
+
+    # W[j] = sum qnn[j : j+w) via band matmul; base-lift keeps operands
+    # non-negative for the exact bf16 nibble split (solexa min -5).
+    # band/tri are kernel OPERANDS (built once by XLA, resident for every
+    # grid step) — constructing two L x L masks per tile cost more VPU
+    # work than the rest of the kernel at small L.
+    base = min(qmin - offset, 0)
+    qnn = qv - jnp.where(in_read, base, 0) if base else qv
+    band = band_ref[:]
+    tri = tri_ref[:]
+    dn = (((1,), (0,)), ((), ()))
+    wh = jax.lax.dot_general((qnn >> 4).astype(jnp.bfloat16), band, dn,
+                             preferred_element_type=jnp.float32)
+    wl = jax.lax.dot_general((qnn & 15).astype(jnp.bfloat16), band, dn,
+                             preferred_element_type=jnp.float32)
+    W = (16.0 * wh + wl).astype(jnp.int32)  # lifted window sums
+
+    i_valid = in_read & (lane <= ul - w)
+    thresh = t * w - base * w  # W_true >= t*w  <=>  W_lifted >= thresh
+    hi = i_valid & (W >= thresh)
+    lo = i_valid & (W < thresh)
+
+    # prefix-ORs on the MXU: count of set positions <= j, exact in f32
+    ph = jax.lax.dot_general(hi.astype(jnp.bfloat16), tri, dn,
+                             preferred_element_type=jnp.float32)
+    prefix_hi = ph > 0.0
+    found_five = row_valid & prefix_hi[:, L - 1 : L]
+
+    lo3 = lo if params.no_fiveprime else (lo & prefix_hi)
+    pl3 = jax.lax.dot_general(lo3.astype(jnp.bfloat16), tri, dn,
+                              preferred_element_type=jnp.float32)
+    prefix_lo3 = pl3 > 0.0
+    three_trig = prefix_lo3[:, L - 1 : L]
+
+    if params.no_fiveprime:
+        five = jnp.zeros_like(lens)
+    else:
+        five = _first_col(in_read & (q >= t) & prefix_hi, lane)
+        five = jnp.where(found_five, jnp.minimum(five, lens), 0)
+
+    three_hit = _first_col(in_read & (q < t) & prefix_lo3, lane)
+    three = jnp.where(three_trig, jnp.minimum(three_hit, lens), lens)
+
+    if params.trunc_n:
+        sq = seq_ref[:].astype(jnp.int32)
+        up = _first_col(in_read & (sq == ord("N")), lane)
+        low = _first_col(in_read & (sq == ord("n")), lane)
+        if params.compat == Compat.V133:
+            nidx = jnp.where(up < BIG, up, low)
+        else:
+            nidx = jnp.where(low < BIG, low, up)
+        three = jnp.where(nidx < BIG, nidx - 1, three)
+
+    keep = row_valid & (lens >= lthr) & (three - five >= lthr)
+    if not params.no_fiveprime:
+        keep &= found_five
+
+    five_ref[:] = jnp.where(keep, five, -1)
+    three_ref[:] = jnp.where(keep, three, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("params", "tile_b", "interpret",
+                                             "uniform_len"))
 def compute_cuts_pallas(seq, qual, lengths, params: TrimParams,
-                        tile_b: int = 256, interpret: bool = False):
-    """Drop-in replacement for ``compute_cuts_jit`` (same contract)."""
+                        tile_b: int = 256, interpret: bool = False,
+                        uniform_len=None):
+    """Drop-in replacement for ``compute_cuts_jit`` (same contract).
+
+    ``uniform_len``: static read length shared by every non-padding row —
+    selects the MXU-everything kernel (see _trim_kernel_uniform)."""
     B, L = qual.shape
     tile_b = min(tile_b, B)
     if B % tile_b:
@@ -190,15 +302,44 @@ def compute_cuts_pallas(seq, qual, lengths, params: TrimParams,
     grid = (B // tile_b,)
     row_spec = pl.BlockSpec((tile_b, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     col_spec = pl.BlockSpec((tile_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # the uniform kernel holds two resident L x L bf16 matrices: only
+    # take it when they fit the ~16 MiB VMEM comfortably
+    uniform_ok = (uniform_len is not None
+                  and 4 * L * L + 48 * tile_b * L <= (10 << 20))
+    if uniform_ok:
+        ul = uniform_len
+        w = ul // 10
+        if w == 0:
+            w = ul
+        src = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+        dst = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+        band = ((src >= dst) & (src < dst + w)).astype(jnp.bfloat16)
+        tri = (src <= dst).astype(jnp.bfloat16)
+        mat_spec = pl.BlockSpec((L, L), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
     if params.trunc_n:
-        kernel = functools.partial(_trim_kernel, params=params, L=L, wmax=wmax)
-        in_specs = [row_spec, row_spec, col_spec]
-        args = (seq, qual, lengths.astype(jnp.int32).reshape(B, 1))
+        if uniform_ok:
+            kernel = functools.partial(_trim_kernel_uniform, params=params,
+                                       L=L, ul=uniform_len)
+            in_specs = [row_spec, row_spec, col_spec, mat_spec, mat_spec]
+            args = (seq, qual, lengths.astype(jnp.int32).reshape(B, 1),
+                    band, tri)
+        else:
+            kernel = functools.partial(_trim_kernel, params=params, L=L,
+                                       wmax=wmax)
+            in_specs = [row_spec, row_spec, col_spec]
+            args = (seq, qual, lengths.astype(jnp.int32).reshape(B, 1))
     else:
-        kernel = functools.partial(_trim_kernel_noseq, params=params, L=L,
-                                   wmax=wmax)
-        in_specs = [row_spec, col_spec]
-        args = (qual, lengths.astype(jnp.int32).reshape(B, 1))
+        if uniform_ok:
+            kernel = functools.partial(_trim_kernel_uniform_noseq,
+                                       params=params, L=L, ul=uniform_len)
+            in_specs = [row_spec, col_spec, mat_spec, mat_spec]
+            args = (qual, lengths.astype(jnp.int32).reshape(B, 1), band, tri)
+        else:
+            kernel = functools.partial(_trim_kernel_noseq, params=params,
+                                       L=L, wmax=wmax)
+            in_specs = [row_spec, col_spec]
+            args = (qual, lengths.astype(jnp.int32).reshape(B, 1))
     five, three, bad = pl.pallas_call(
         kernel,
         grid=grid,

@@ -171,3 +171,34 @@ def test_window_guarantee_three_stays_len():
     seq, qual, lens = pack([(b"A" * L, bytes([126]) * L)])
     five, three, _ = compute_cuts_jit(seq, qual, lens, TrimParams(qual_threshold=20))
     assert (int(five[0]), int(three[0])) == (0, L)
+
+
+@pytest.mark.parametrize("cfg", CONFIGS)
+def test_uniform_len_variant_matches_oracle(cfg):
+    """uniform_len (static window size, one static shift — the common
+    Illumina case) must agree with the oracle and the generic kernel."""
+    q, l, x, n, compat = cfg
+    qualtype = QualityType.SANGER
+    rng = np.random.default_rng(hash(("uni", cfg)) % 2**32)
+    L_read = 150
+    reads = []
+    for i in range(128):
+        base = random_reads(rng, 1, qualtype)[0]
+        qq = (base[1] * (L_read // len(base[1]) + 1))[:L_read]
+        ss = (base[0] * (L_read // len(base[0]) + 1))[:L_read]
+        reads.append((ss, qq))
+    seq, qual, lens = pack(reads)
+    params = TrimParams(
+        qualtype=qualtype, qual_threshold=q, length_threshold=l,
+        no_fiveprime=x, trunc_n=n, compat=compat,
+    )
+    five, three, _ = compute_cuts_jit(seq, qual, lens, params,
+                                      uniform_len=L_read)
+    for i, (s, qq) in enumerate(reads):
+        want = oracle.sliding_window_cuts(
+            s, qq, qualtype=qualtype, qual_threshold=q, length_threshold=l,
+            no_fiveprime=x, trunc_n=n, compat=compat,
+        )
+        assert (int(five[i]), int(three[i])) == want, f"read {i}"
+    # padding rows discarded
+    assert np.all(np.asarray(five)[len(reads):] == -1)

@@ -89,3 +89,51 @@ def test_pallas_long_reads():
     np.testing.assert_array_equal(fp, fj)
     np.testing.assert_array_equal(tp, tj)
     np.testing.assert_array_equal(bp, bj)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        (QualityType.SANGER, 60, 20, False, False, Compat.FORK),
+        (QualityType.SANGER, 20, 20, False, True, Compat.V133),
+        (QualityType.ILLUMINA, 30, 30, True, False, Compat.V133),
+        (QualityType.SOLEXA, 20, 5, False, True, Compat.FORK),
+        (QualityType.SANGER, 0, 0, False, False, Compat.V133),
+    ],
+)
+def test_pallas_uniform_kernel_matches(cfg, reference_fixtures):
+    """The MXU-everything uniform-length kernel vs the jnp path on the
+    fixture corpus (150 bp, the target case) with padding rows."""
+    qt, q, l, x, n, compat = cfg
+    data = (reference_fixtures / "test.fastq").read_bytes()
+    p = pack_fastq(data, batch_multiple=256)
+    params = TrimParams(qualtype=qt, qual_threshold=q, length_threshold=l,
+                        no_fiveprime=x, trunc_n=n, compat=compat)
+    # fixture reads are uniform 150 bp
+    assert int(p.lengths.max()) == 150
+    nz = p.lengths[p.lengths > 0]
+    assert nz.min() == nz.max() == 150
+    f1, t1, b1 = compute_cuts_jit(p.seq, p.qual, p.lengths, params)
+    f2, t2, b2 = compute_cuts_pallas(p.seq, p.qual, p.lengths, params,
+                                     tile_b=256, interpret=True,
+                                     uniform_len=150)
+    for name, a, b in (("five", f1, f2), ("three", t1, t2), ("bad", b1, b2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
+def test_pallas_uniform_short_reads():
+    # ul < 10: window = whole read (static)
+    rng = np.random.default_rng(5)
+    B, ul = 64, 8
+    qual = np.zeros((B, 128), np.uint8)
+    qual[:, :ul] = rng.integers(35, 75, (B, ul))
+    qual[B // 2:] = 0  # padding rows
+    seq = np.full((B, 128), ord("A"), np.uint8)
+    lens = np.where(np.arange(B) < B // 2, ul, 0).astype(np.int32)
+    params = TrimParams(qual_threshold=20, length_threshold=5)
+    f1, t1, _ = compute_cuts_jit(seq, qual, lens, params)
+    f2, t2, _ = compute_cuts_pallas(seq, qual, lens, params, tile_b=64,
+                                    interpret=True, uniform_len=ul)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
