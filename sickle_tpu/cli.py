@@ -203,6 +203,7 @@ Options:
 --metrics, Print per-chunk pipeline stage timings (pack/dispatch/fetch/write) to stderr at exit.
 --checkpoint, Sidecar file making the run restartable (re-run the same command to resume; gzip output resumes at BGZF member boundaries).
 --strict, Error on ANY out-of-range quality char (default: only chars the trimming scan touches error, matching sickle 1.33).
+--cuts, Compute placement: 'auto' (default: accelerator + host failover/assist), 'hybrid', 'device' (accelerator only), or 'host' (C++ host kernel only, no JAX).
 --dist, Join a multi-host run (jax.distributed); each host trims its record-aligned shard of the input into <output>.shard<i> and host 0 prints the merged global summary.
 --coordinator, host:port of the jax.distributed coordinator (with --dist; omit on TPU pods for auto-detection).
 --num-processes, Total hosts in the --dist run (omit on TPU pods).
@@ -251,6 +252,7 @@ Paired-end interleaved reads
 --metrics, Print per-chunk pipeline stage timings (pack/dispatch/fetch/write) to stderr at exit.
 --checkpoint, Sidecar file making the run restartable (re-run the same command to resume; gzip output resumes at BGZF member boundaries).
 --strict, Error on ANY out-of-range quality char (default: only chars the trimming scan touches error, matching sickle 1.33).
+--cuts, Compute placement: 'auto' (default: accelerator + host failover/assist), 'hybrid', 'device' (accelerator only), or 'host' (C++ host kernel only, no JAX).
 --dist, Join a multi-host run (jax.distributed); each host trims its record-aligned shard of the input into <output>.shard<i> and host 0 prints the merged global summary.
 --coordinator, host:port of the jax.distributed coordinator (with --dist; omit on TPU pods for auto-detection).
 --num-processes, Total hosts in the --dist run (omit on TPU pods).
@@ -289,11 +291,37 @@ def _records_per_chunk(batch_mb: Optional[int]) -> int:
     return max(4096, min(recs, 1 << 18))
 
 
+def _apply_cuts_mode(mode: str):
+    """--cuts {auto,hybrid,device,host} -> engine env contract.
+
+    'host' runs the whole pipeline on the C++ host kernel (no JAX import
+    at all); 'device' disables the hybrid dispatcher; 'hybrid' forces it
+    on; 'auto' (default) leaves the engine's backend-aware default.
+    Returns the mode, or None if unrecognized."""
+    mode = mode.strip().lower()
+    if mode == "host":
+        os.environ["SICKLE_TPU_CUTS"] = "host"
+    elif mode == "device":
+        os.environ.pop("SICKLE_TPU_CUTS", None)
+        os.environ["SICKLE_TPU_HYBRID"] = "0"
+    elif mode == "hybrid":
+        os.environ.pop("SICKLE_TPU_CUTS", None)
+        os.environ["SICKLE_TPU_HYBRID"] = "1"
+    elif mode != "auto":
+        return None
+    return mode
+
+
 def _build_cuts_fn(params: TrimParams, devices: Optional[int], rpc: int):
     """Pick single-device jit or a sharded mesh step; returns (fn, rpc').
 
     rpc is rounded to a multiple of the mesh size (and 8).  Local
     devices only: multi-host runs shard rows per host (parallel.mesh)."""
+    if os.environ.get("SICKLE_TPU_CUTS") == "host":
+        # C++ host kernel only: never import jax (zero accelerator touch)
+        from .engine.pipeline import default_cuts_fn
+
+        return default_cuts_fn(params), rpc
     import jax
 
     n_avail = len(jax.local_devices())
@@ -359,7 +387,7 @@ def se_main(argv: List[str]) -> int:
         "fastq-file=", "output-file=", "qual-type=", "qual-threshold=",
         "length-threshold=", "no-fiveprime", "discard-n", "gzip-output",
         "quiet", "threads=", "batch=", "compat=", "devices=", "profile=",
-        "metrics", "checkpoint=", "strict", "dist", "coordinator=",
+        "metrics", "checkpoint=", "strict", "cuts=", "dist", "coordinator=",
         "num-processes=", "process-id=", "help", "version",
     ]
     try:
@@ -403,6 +431,11 @@ def se_main(argv: List[str]) -> int:
             no_five = True
         elif o == "--strict":
             strict = True
+        elif o == "--cuts":
+            if _apply_cuts_mode(a) is None:
+                sys.stderr.write(
+                    f"****Error: --cuts must be auto, hybrid, device or host, got '{a}'.\n\n")
+                return 1
         elif o == "--dist":
             dist_on = True
         elif o == "--coordinator":
@@ -545,8 +578,8 @@ def pe_main(argv: List[str]) -> int:
         "output-n=", "qual-threshold=", "length-threshold=", "no-fiveprime",
         "truncate-n", "gzip-output", "quiet", "threads=", "batch=",
         "compat=", "devices=", "profile=", "metrics", "checkpoint=",
-        "strict", "dist", "coordinator=", "num-processes=", "process-id=",
-        "help", "version",
+        "strict", "cuts=", "dist", "coordinator=", "num-processes=",
+        "process-id=", "help", "version",
     ]
     try:
         opts, extra = getopt.gnu_getopt(argv, "df:r:c:t:o:p:m:M:s:q:a:b:l:xng", longopts)
@@ -604,6 +637,11 @@ def pe_main(argv: List[str]) -> int:
             no_five = True
         elif o == "--strict":
             strict = True
+        elif o == "--cuts":
+            if _apply_cuts_mode(a) is None:
+                sys.stderr.write(
+                    f"****Error: --cuts must be auto, hybrid, device or host, got '{a}'.\n\n")
+                return 1
         elif o == "--dist":
             dist_on = True
         elif o == "--coordinator":
