@@ -112,12 +112,13 @@ def measured_pass(name, n_units, run, min_rate, make_cfg):
 
 
 def main():
-    # 48 copies = 120k reads = ~14 MB of bit-plane wire for the headline
-    # pass: big enough to time honestly (baseline corpus is 100k reads),
-    # small enough that a partially-refilled fast-window byte budget can
-    # hold the WHOLE pass (the 300k/34 MB pass kept crossing the budget
-    # boundary mid-pass and eating a penalty-box stall; BENCH r2/r3 logs)
-    copies = int(os.environ.get("SICKLE_BENCH_COPIES", "48"))
+    # 240 copies = 600k reads (198 MB input).  Round 4's hybrid
+    # dispatcher changed the sizing calculus: the host kernel absorbs
+    # whatever the link cannot carry (and rescues a stalled device chunk
+    # after SICKLE_TPU_RESCUE_S), so the pass no longer needs to fit a
+    # fast-window byte budget — it needs to be LONG enough to time a
+    # ~1M+ reads/s hybrid pass honestly (~0.5 s)
+    copies = int(os.environ.get("SICKLE_BENCH_COPIES", "240"))
     # secondary rows: half the headline's reads fill one 64k-row slice
     # almost exactly (pe pads both mates into one pow2 batch), so the
     # extra records ride padding that would ship anyway
@@ -329,6 +330,11 @@ def main():
             "retried": se["retried"],
             "passes_reads_per_s": se["passes"],
             "median_chunk_device_ms": se["median_chunk_device_ms"],
+            "hybrid": {
+                "chunks_device": getattr(cuts_fn, "n_device", None),
+                "chunks_host": getattr(cuts_fn, "n_host", None),
+                "chunks_rescued": getattr(cuts_fn, "n_rescued", None),
+            },
         }),
     }))
 

@@ -95,9 +95,14 @@ class HybridCutsFn:
     lazy = True  # engine defers materialize to its finalize window
 
     def __init__(self, params: TrimParams, device_fn=None,
-                 device_depth: int = 2, host_depth: int = 2,
+                 device_depth: int = 1, host_depth: int = 2,
                  rescue_s: Optional[float] = None,
                  host_threads: Optional[int] = None):
+        # device_depth=1: the device worker holds one chunk in flight
+        # plus one queued (its internal overlap window).  Deeper queues
+        # over-commit on a throttled link: the in-order finalize then
+        # waits out each 200-400 ms device chunk while the host kernel
+        # sits idle (round-4 bench rehearsal: 3x slower headline).
         self.params = params
         self.device_fn = device_fn
         self.rescue_s = (rescue_s if rescue_s is not None else
@@ -107,12 +112,27 @@ class HybridCutsFn:
         self._host_q: queue.Queue = queue.Queue(maxsize=host_depth)
         self._threads: list = []
         self._atexit = False
+        self._draining = False
         self._lk = threading.Lock()
         self._suspect = False
         self._device_idle = True
         self.n_device = 0
         self.n_host = 0
         self.n_rescued = 0
+        self.n_drained = 0
+        # cost-aware routing: EWMA per-chunk service time of each route.
+        # The device gets work while it is COMPETITIVE (<= ~2x the host
+        # kernel per chunk — true on healthy direct-attach links, false
+        # in the tunnel's throttle regime where a device chunk costs
+        # ~220 ms vs ~25 ms host and would cap the in-order pipeline);
+        # a probe chunk re-tests the device every ``probe_s`` so a
+        # recovered link is picked back up.
+        self.ewma_dev_ms: Optional[float] = None
+        self.ewma_host_ms: Optional[float] = None
+        self.device_handicap = float(
+            os.environ.get("SICKLE_TPU_DEVICE_HANDICAP", "2.0"))
+        self.probe_s = float(os.environ.get("SICKLE_TPU_PROBE_S", "10"))
+        self._last_dev_mono = 0.0
         self.last_h2d = 0
         # host-only + native lib: the engine can skip packing row matrices
         # entirely; cuts read records straight from the source buffer via
@@ -132,6 +152,14 @@ class HybridCutsFn:
                 if hasattr(device_fn, attr):
                     setattr(self, attr, getattr(device_fn, attr))
 
+    def _device_competitive(self) -> bool:
+        if self.ewma_dev_ms is None:
+            return True  # first chunk probes the device
+        if time.monotonic() - self._last_dev_mono > self.probe_s:
+            return True  # periodic probe: the link regime may have healed
+        host = self.ewma_host_ms if self.ewma_host_ms is not None else 15.0
+        return self.ewma_dev_ms <= self.device_handicap * max(host, 1.0)
+
     def _wire_estimate(self, qual, wire) -> int:
         if wire is not None:
             try:
@@ -141,6 +169,12 @@ class HybridCutsFn:
         return qual.nbytes
 
     # --- engine entry points --------------------------------------------
+    def drain(self):
+        """Engine hint: no more chunks are coming (producer finished);
+        pending device slots resolve by fast host rescue instead of
+        waiting out their RPCs.  Cleared on the next dispatch."""
+        self._draining = True
+
     def call_packed(self, packed):
         """Dispatch a PackedReads chunk (engine fast path): in indexed
         host-only mode the job carries the line index instead of row
@@ -149,6 +183,7 @@ class HybridCutsFn:
             ws = packed.workspace
             n = packed.n_records
             self._ensure_workers()
+            self._draining = False
             self.last_h2d = 0
             job = ("idx", packed.data, ws.starts4[: 4 * n],
                    ws.lens4[: 4 * n], n)
@@ -161,12 +196,14 @@ class HybridCutsFn:
 
     def __call__(self, seq, qual, lengths, qual_clean=False, wire=None):
         self._ensure_workers()
+        self._draining = False
         job = ("rows", seq, qual, lengths, qual_clean, wire)
         # per-chunk wire accounting for --metrics: device routes ship the
         # prepared wire (estimate; the worker transfers asynchronously),
         # host routes ship nothing
         self.last_h2d = 0
-        if self.device_fn is not None and not self._suspect:
+        if (self.device_fn is not None and not self._suspect
+                and self._device_competitive()):
             try:
                 slot = _Slot(job, "device")
                 self._device_q.put_nowait(slot)
@@ -183,7 +220,7 @@ class HybridCutsFn:
         # both routes exist: prefer device as soon as it frees up, else
         # overflow to the host kernel
         while True:
-            if not self._suspect:
+            if not self._suspect and self._device_competitive():
                 try:
                     slot = _Slot(job, "device")
                     self._device_q.put_nowait(slot)
@@ -204,12 +241,26 @@ class HybridCutsFn:
     def _resolve(self, slot: _Slot):
         timeout = self.rescue_s if (slot.route == "device"
                                     and self.rescue_s > 0) else None
+        if timeout is not None and self._suspect:
+            # cascade: once one device chunk stalled, every chunk queued
+            # behind the same stalled RPC is rescued near-immediately
+            # instead of serially waiting the full timeout each
+            timeout = min(timeout, 0.25)
+        if timeout is not None and self._draining:
+            # end of input: don't wait out in-flight device RPCs — the
+            # host recomputes the tail in milliseconds and the late
+            # device results are discarded (first fill wins)
+            timeout = min(timeout, 0.05)
         val = slot.wait(timeout)
         if val is None:
-            # device stall: recompute host-side, first fill wins; route
-            # new chunks host-only until the device worker drains
-            self._suspect = True
-            self.n_rescued += 1
+            # device stall (or end-of-input drain): recompute host-side,
+            # first fill wins; on a genuine stall, route new chunks
+            # host-only until the device worker drains
+            if self._draining:
+                self.n_drained += 1
+            else:
+                self._suspect = True
+                self.n_rescued += 1
             try:
                 val = ("ok", self._host_compute(slot.job))
             except BaseException as e:  # propagate like a worker error
@@ -275,7 +326,12 @@ class HybridCutsFn:
             if slot is _SENTINEL:
                 return
             try:
-                slot.fill("ok", self._host_compute(slot.job))
+                t0 = time.monotonic()
+                result = self._host_compute(slot.job)
+                ms = (time.monotonic() - t0) * 1e3
+                e = self.ewma_host_ms
+                self.ewma_host_ms = ms if e is None else 0.7 * e + 0.3 * ms
+                slot.fill("ok", result)
             except BaseException as e:
                 slot.fill("err", e)
 
@@ -300,9 +356,10 @@ class HybridCutsFn:
                 self._device_idle = False
                 _, seq, qual, lengths, qual_clean, wire = slot.job
                 try:
+                    t0 = time.monotonic()
                     result = self.device_fn(seq, qual, lengths,
                                             qual_clean=qual_clean, wire=wire)
-                    local.append((slot, result))
+                    local.append((slot, result, t0))
                 except BaseException as e:
                     slot.fill("err", e)
             while len(local) > window or (slot is None and local):
@@ -311,12 +368,16 @@ class HybridCutsFn:
                 self._device_idle = True
                 self._suspect = False  # drained: give the device a new shot
 
-    def _finish(self, slot, result):
+    def _finish(self, slot, result, t0):
         from .pipeline import _materialize
 
         try:
             n = slot.job[2].shape[0]
             filled = slot.fill("ok", _materialize(result, n))
+            ms = (time.monotonic() - t0) * 1e3
+            e = self.ewma_dev_ms
+            self.ewma_dev_ms = ms if e is None else 0.7 * e + 0.3 * ms
+            self._last_dev_mono = time.monotonic()
         except BaseException as e:
             filled = slot.fill("err", e)
         if not filled:

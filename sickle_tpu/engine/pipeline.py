@@ -962,12 +962,15 @@ class _Pipeline:
                 self.errors.append(e)
                 self.stop.set()
 
-    def run(self, producer, dispatcher, consume, finalize=None, window=0):
+    def run(self, producer, dispatcher, consume, finalize=None, window=0,
+            on_drain=None):
         """``finalize``/``window``: dispatched chunks are held in a
         bounded deque and finalized (device-result fetch) on the main
         thread only after ``window`` newer chunks have been dispatched —
         H2D of chunk i+1 overlaps compute/D2H of chunk i without any
-        concurrent device interaction (single calling thread)."""
+        concurrent device interaction (single calling thread).
+        ``on_drain`` fires once the producer has delivered its last
+        chunk (hybrid fns rescue their pending device tail)."""
         from collections import deque
 
         tp = threading.Thread(target=self._producer_loop, args=(producer,), daemon=True)
@@ -988,6 +991,8 @@ class _Pipeline:
                 pending.append(dispatcher(item))
                 while len(pending) > window:
                     self.write_q.put(finalize(pending.popleft()))
+            if on_drain is not None and not self.stop.is_set():
+                on_drain()
             while pending and not self.stop.is_set():
                 self.write_q.put(finalize(pending.popleft()))
         finally:
@@ -1207,7 +1212,7 @@ def run_se(
 
     try:
         pipe.run(producer, dispatcher, consume, finalize=finalize,
-                 window=window)
+                 window=window, on_drain=getattr(cuts_fn, "drain", None))
     finally:
         _outbuf_return(outbuf)
     return counters
@@ -1651,7 +1656,7 @@ def run_pe(
 
     try:
         pipe.run(producer, dispatcher, consume, finalize=finalize,
-                 window=window)
+                 window=window, on_drain=getattr(cuts_fn, "drain", None))
     finally:
         _outbuf_return(outbuf)
     return counters
