@@ -145,16 +145,20 @@ def main():
     from sickle_tpu.io.compression import BgzfWriter, open_input
     from sickle_tpu.ops import TrimParams
 
+    import dataclasses
+
     params = TrimParams(
         qualtype=QualityType.SANGER, qual_threshold=60, length_threshold=20,
         compat=Compat.FORK,
     )
+    params_binned = dataclasses.replace(params, qual_threshold=20)
 
     def make_cfg():
         return EngineConfig(records_per_chunk=rpc, slice_rows=rpc)
 
     cfg0 = make_cfg()
     cuts_fn = default_cuts_fn(params, cfg0)
+    cuts_fn_binned = default_cuts_fn(params_binned, cfg0)
 
     fixture = open(FIXTURE, "rb").read()
     n_reads = copies * 2500
@@ -193,9 +197,13 @@ def main():
         aot_ok = False
         if hasattr(cuts_fn, "warmup_aot"):
             try:
-                # band wire (6 planes: the fixture's 40-char band) plus
-                # the rank wire (3 planes: the binned-qual row)
-                cuts_fn.warmup_aot(152, ranks=(3,))
+                # band wire (6 planes: the fixture's 40-char band) at the
+                # run's uniform 150 bp; the binned row's fn compiles its
+                # rank-3 ladder separately (different TrimParams)
+                cuts_fn.warmup_aot(152, read_len=150)
+                if hasattr(cuts_fn_binned, "warmup_aot"):
+                    cuts_fn_binned.warmup_aot(152, planes=(), ranks=(3,),
+                                              read_len=150)
                 aot_ok = True
             except Exception as e:
                 log(f"AOT warmup unavailable ({e}); falling back to mini run")
@@ -282,10 +290,14 @@ def main():
         # is insensitive to the qual distribution).
         src_b = os.path.join(td, "bench_binned.fastq")
         _write_binned(src, src_b)
+
+        # q=20 (the tool default): with the 4 binned levels {2,12,23,37}
+        # this trims real 5'/3' extents and writes real output (q=60
+        # would discard every read — a dishonestly cheap pass)
         def run_binned(cfg):
             with open(src_b, "rb") as fin, open(out_path, "wb") as fout:
-                return run_se(fin, fout, params, cfg=cfg,
-                              cuts_fn=cuts_fn).total
+                return run_se(fin, fout, params_binned, cfg=cfg,
+                              cuts_fn=cuts_fn_binned).total
 
         bn = measured_pass("binned-se", n_reads, run_binned, min_rate,
                            make_cfg)

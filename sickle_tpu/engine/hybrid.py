@@ -105,8 +105,11 @@ class HybridCutsFn:
         # sits idle (round-4 bench rehearsal: 3x slower headline).
         self.params = params
         self.device_fn = device_fn
+        # 4 s >= ~6x a worst-case legitimate throttled chunk (64 MB
+        # batch cap at ~33 MB/s); a link-trap stall costs one rescue_s
+        # wait + fast cascade, once, then routing goes host-only
         self.rescue_s = (rescue_s if rescue_s is not None else
-                         float(os.environ.get("SICKLE_TPU_RESCUE_S", "10")))
+                         float(os.environ.get("SICKLE_TPU_RESCUE_S", "4")))
         self.host_threads = host_threads
         self._device_q: queue.Queue = queue.Queue(maxsize=device_depth)
         self._host_q: queue.Queue = queue.Queue(maxsize=host_depth)
@@ -120,6 +123,7 @@ class HybridCutsFn:
         self.n_host = 0
         self.n_rescued = 0
         self.n_drained = 0
+        self.n_probe = 0
         # cost-aware routing: EWMA per-chunk service time of each route.
         # The device gets work while it is COMPETITIVE (<= ~2x the host
         # kernel per chunk — true on healthy direct-attach links, false
@@ -155,10 +159,34 @@ class HybridCutsFn:
     def _device_competitive(self) -> bool:
         if self.ewma_dev_ms is None:
             return True  # first chunk probes the device
-        if time.monotonic() - self._last_dev_mono > self.probe_s:
-            return True  # periodic probe: the link regime may have healed
         host = self.ewma_host_ms if self.ewma_host_ms is not None else 15.0
         return self.ewma_dev_ms <= self.device_handicap * max(host, 1.0)
+
+    def wire_useful(self) -> bool:
+        """Producer hint: skip the (expensive) wire prep for chunks that
+        will route to the host kernel anyway; a device probe computes its
+        own wire on the device worker thread."""
+        return (self.device_fn is not None and not self._suspect
+                and self._device_competitive())
+
+    def _maybe_probe(self, job):
+        """Out-of-band device probe: when the device is rated
+        uncompetitive, periodically send a DUPLICATE of a chunk to the
+        device purely to refresh its service-time EWMA (a healed link is
+        picked back up).  Nothing waits on the probe slot, so a slow or
+        stalled probe never blocks the in-order pipeline; its result is
+        discarded."""
+        if (self.device_fn is None or self._suspect
+                or self.ewma_dev_ms is None
+                or self._device_competitive()
+                or time.monotonic() - self._last_dev_mono < self.probe_s):
+            return
+        try:
+            self._last_dev_mono = time.monotonic()  # one probe in flight
+            self._device_q.put_nowait(_Slot(job, "probe"))
+            self.n_probe += 1
+        except queue.Full:
+            pass
 
     def _wire_estimate(self, qual, wire) -> int:
         if wire is not None:
@@ -219,6 +247,7 @@ class HybridCutsFn:
             return _SlotResult(slot, self)
         # both routes exist: prefer device as soon as it frees up, else
         # overflow to the host kernel
+        self._maybe_probe(job)
         while True:
             if not self._suspect and self._device_competitive():
                 try:

@@ -98,6 +98,25 @@ def _adapt_cuts_fn(fn: CutsFn) -> Callable:
             seq, qual, lengths))
 
 
+def _gated_prep(cuts_fn):
+    """Producer-thread wire prep, gated by the fn's routing hint: hybrid
+    fns skip the (expensive) bit-plane prep for chunks that will take the
+    host kernel anyway (wire_useful); device probes build their own wire
+    on the device worker."""
+    prep = getattr(cuts_fn, "prepare", None)
+    if prep is None:
+        return None
+    gate = getattr(cuts_fn, "wire_useful", None)
+    if gate is None:
+        return prep
+
+    def gated(packed):
+        if gate():
+            prep(packed)
+
+    return gated
+
+
 def _finalize_window(cuts_fn) -> int:
     """In-order finalize window (chunks dispatched ahead of the oldest
     un-fetched result).  0 for eager fns; lazy fns default to 1 (H2D of
@@ -1030,7 +1049,7 @@ def run_se(
     """
     cfg = cfg or EngineConfig()
     cuts_fn = _adapt_cuts_fn(cuts_fn or default_cuts_fn(params, cfg))
-    prep = getattr(cuts_fn, "prepare", None)
+    prep = _gated_prep(cuts_fn)
     call_packed = getattr(cuts_fn, "call_packed", None)
     # indexed host-cuts mode: the fn reads records straight from the
     # source buffer via the line index; skip packing row matrices
@@ -1279,7 +1298,7 @@ def run_pe(
     """
     cfg = cfg or EngineConfig()
     cuts_fn = _adapt_cuts_fn(cuts_fn or default_cuts_fn(params, cfg))
-    prep = getattr(cuts_fn, "prepare", None)
+    prep = _gated_prep(cuts_fn)
     call_packed = getattr(cuts_fn, "call_packed", None)
     need_rows = getattr(cuts_fn, "needs_rows", True)  # see run_se
     window = _finalize_window(cuts_fn)  # see run_se
