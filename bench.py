@@ -94,10 +94,11 @@ def measured_pass(name, n_units, run, min_rate, make_cfg):
         if os.environ.get("SICKLE_BENCH_VERBOSE"):
             m.report()
         if not (stalled or slow):
-            # one confirmation pass (best-of-2): a clean first pass still
-            # carries first-touch page faults and writeback jitter (±2x
-            # on this container); the hybrid host route costs no wire
-            if attempt == 0 and _time_left() > 120:
+            # confirmation passes (best-of-3): a clean pass still
+            # carries first-touch page faults, writeback jitter, and
+            # container CPU co-tenancy (±2x observed); the hybrid host
+            # route costs no wire, so repeats are free of link budget
+            if attempt <= 1 and _time_left() > 120:
                 continue
             break
         if attempt < 2 and _time_left() > 180:
