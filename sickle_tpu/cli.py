@@ -291,6 +291,9 @@ def _records_per_chunk(batch_mb: Optional[int]) -> int:
     return max(4096, min(recs, 1 << 18))
 
 
+_ACTIVE_CUTS_FN = None  # last built cuts fn; finalized by main()
+
+
 def _apply_cuts_mode(mode: str):
     """--cuts {auto,hybrid,device,host} -> engine env contract.
 
@@ -317,11 +320,14 @@ def _build_cuts_fn(params: TrimParams, devices: Optional[int], rpc: int):
 
     rpc is rounded to a multiple of the mesh size (and 8).  Local
     devices only: multi-host runs shard rows per host (parallel.mesh)."""
+    global _ACTIVE_CUTS_FN
     if os.environ.get("SICKLE_TPU_CUTS") == "host":
         # C++ host kernel only: never import jax (zero accelerator touch)
         from .engine.pipeline import default_cuts_fn
 
-        return default_cuts_fn(params), rpc
+        fn = default_cuts_fn(params)
+        _ACTIVE_CUTS_FN = fn
+        return fn, rpc
     import jax
 
     n_avail = len(jax.local_devices())
@@ -329,13 +335,17 @@ def _build_cuts_fn(params: TrimParams, devices: Optional[int], rpc: int):
     if n <= 1:
         from .engine.pipeline import default_cuts_fn
 
-        return default_cuts_fn(params), rpc
+        fn = default_cuts_fn(params)
+        _ACTIVE_CUTS_FN = fn
+        return fn, rpc
     from .parallel import data_mesh, sharded_cuts_fn
 
     mesh = data_mesh(n)
     mult = max(n, 8)
     rpc = -(-rpc // mult) * mult
-    return sharded_cuts_fn(params, mesh), rpc
+    fn = sharded_cuts_fn(params, mesh)
+    _ACTIVE_CUTS_FN = fn
+    return fn, rpc
 
 
 def _open_resumable(path: str, gzip_out: bool = False):
@@ -899,8 +909,23 @@ def main(argv: Optional[List[str]] = None) -> int:
     if argv[0] == "--help":
         return main_usage(0)
     if argv[0] == "pe":
-        return pe_main(argv[1:])
-    return se_main(argv[1:])
+        return _finish(pe_main(argv[1:]))
+    return _finish(se_main(argv[1:]))
+
+
+def _finish(rc: int) -> int:
+    """Stop hybrid workers before interpreter teardown.  If a worker is
+    WEDGED in a stalled device RPC (minutes on the tunneled link), the
+    accelerator runtime's exit hooks would hang or abort the process
+    ("terminate called ..."); all user-visible output is already flushed,
+    so exit hard with the real return code instead."""
+    fn = _ACTIVE_CUTS_FN
+    close = getattr(fn, "close", None)
+    if close is not None and close() is False:
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(rc)
+    return rc
 
 
 if __name__ == "__main__":

@@ -144,7 +144,8 @@ class HybridCutsFn:
         # traffic per input byte on the 2-core host
         from ..io import native as _native
 
-        self.needs_rows = not (device_fn is None and _native.available())
+        self._can_index = _native.available()
+        self.needs_rows = not (device_fn is None and self._can_index)
         # the engine's finalize window must cover BOTH routes' in-flight
         # depth, or its in-order wait throttles routing to device pace
         # and the host never sees overflow
@@ -168,6 +169,18 @@ class HybridCutsFn:
         own wire on the device worker thread."""
         return (self.device_fn is not None and not self._suspect
                 and self._device_competitive())
+
+    def want_rows(self) -> bool:
+        """Producer hint: pack seq/qual row matrices only for chunks the
+        device might see (competitive routing, or a due probe) — the
+        indexed host path reads records straight from the source buffer,
+        skipping the row memcpy entirely."""
+        if self.device_fn is None or not self._can_index:
+            return self.device_fn is not None
+        if self._suspect:
+            return False
+        return (self._device_competitive()
+                or time.monotonic() - self._last_dev_mono > self.probe_s)
 
     def _maybe_probe(self, job):
         """Out-of-band device probe: when the device is rated
@@ -204,10 +217,11 @@ class HybridCutsFn:
         self._draining = True
 
     def call_packed(self, packed):
-        """Dispatch a PackedReads chunk (engine fast path): in indexed
-        host-only mode the job carries the line index instead of row
-        matrices; otherwise equivalent to calling the fn directly."""
-        if not self.needs_rows and not packed.rows_packed:
+        """Dispatch a PackedReads chunk (engine fast path): a chunk
+        whose rows were never packed (indexed mode — host-only, or a
+        host-bound stretch of a hybrid run) carries the line index and
+        MUST take the host kernel; rows chunks route normally."""
+        if not packed.rows_packed:
             ws = packed.workspace
             n = packed.n_records
             self._ensure_workers()
@@ -325,16 +339,24 @@ class HybridCutsFn:
             t.start()
             self._threads.append(t)
 
-    def close(self):
+    def close(self) -> bool:
+        """Stop the workers.  Returns False if a worker is WEDGED (a
+        device RPC stalled for minutes holds its thread hostage) — the
+        caller should avoid normal interpreter teardown in that case
+        (the accelerator runtime's exit hooks join their RPC threads and
+        hang/abort; see cli._exit_code)."""
         with self._lk:
             threads, self._threads = self._threads, []
         if not threads:
-            return
+            return True
         if self.device_fn is not None:
             self._device_q.put(_SENTINEL)
         self._host_q.put(_SENTINEL)
+        ok = True
         for t in threads:
             t.join(timeout=5)
+            ok = ok and not t.is_alive()
+        return ok
 
     def _host_compute(self, job):
         if job[0] == "idx":

@@ -98,6 +98,18 @@ def _adapt_cuts_fn(fn: CutsFn) -> Callable:
             seq, qual, lengths))
 
 
+def _need_rows_fn(cuts_fn):
+    """Per-chunk row-packing decision for the producer.  Static for
+    plain fns (needs_rows attr; default True); dynamic for hybrid fns
+    (want_rows()): rows are packed only when the device might see the
+    chunk, the indexed host path reads the source buffer directly."""
+    want = getattr(cuts_fn, "want_rows", None)
+    if want is not None and getattr(cuts_fn, "call_packed", None) is not None:
+        return want
+    static = bool(getattr(cuts_fn, "needs_rows", True))
+    return lambda: static
+
+
 def _gated_prep(cuts_fn):
     """Producer-thread wire prep, gated by the fn's routing hint: hybrid
     fns skip the (expensive) bit-plane prep for chunks that will take the
@@ -111,7 +123,9 @@ def _gated_prep(cuts_fn):
         return prep
 
     def gated(packed):
-        if gate():
+        # never build wire from unpacked (garbage) rows — an indexed
+        # chunk is host-bound by construction
+        if packed.rows_packed and gate():
             prep(packed)
 
     return gated
@@ -1052,8 +1066,10 @@ def run_se(
     prep = _gated_prep(cuts_fn)
     call_packed = getattr(cuts_fn, "call_packed", None)
     # indexed host-cuts mode: the fn reads records straight from the
-    # source buffer via the line index; skip packing row matrices
-    need_rows = getattr(cuts_fn, "needs_rows", True)
+    # source buffer via the line index; skip packing row matrices.
+    # Hybrid fns decide PER CHUNK (want_rows): rows are packed only when
+    # the device might see the chunk (competitive routing / due probe).
+    need_rows = _need_rows_fn(cuts_fn)
     # lazy cuts fns defer the result fetch so chunk i+1's dispatch
     # overlaps chunk i's device compute/D2H (one extra in-flight chunk,
     # hence one extra workspace); hybrid fns ask for a deeper window
@@ -1088,7 +1104,7 @@ def run_se(
                         need_seq=params.trunc_n,
                         est_rec_bytes=state["est"],
                         batch_bytes=cfg.bytes_per_batch,
-                        need_rows=need_rows,
+                        need_rows=need_rows(),
                     )
                 off += consumed
                 if packed.n_records == 0:  # trailing partial record
@@ -1127,7 +1143,7 @@ def run_se(
                             workspace=ws, need_seq=params.trunc_n,
                             est_rec_bytes=state["est"],
                             batch_bytes=cfg.bytes_per_batch,
-                            need_rows=need_rows,
+                            need_rows=need_rows(),
                         )
                     src.pos += consumed
                     if packed.n_records == 0:  # partial record at window end
@@ -1164,7 +1180,7 @@ def run_se(
                     workspace=pipe.get_workspace(),
                     need_seq=params.trunc_n,
                     batch_bytes=cfg.bytes_per_batch,
-                    need_rows=need_rows,
+                    need_rows=need_rows(),
                 )
             if mtr is not None:
                 mtr.add_chunk(packed.n_records, len(chunk))
@@ -1300,7 +1316,7 @@ def run_pe(
     cuts_fn = _adapt_cuts_fn(cuts_fn or default_cuts_fn(params, cfg))
     prep = _gated_prep(cuts_fn)
     call_packed = getattr(cuts_fn, "call_packed", None)
-    need_rows = getattr(cuts_fn, "needs_rows", True)  # see run_se
+    need_rows = _need_rows_fn(cuts_fn)  # see run_se
     window = _finalize_window(cuts_fn)  # see run_se
     # two-file runs check out one workspace per mate file per chunk
     pipe = _Pipeline(cfg.prefetch,
@@ -1333,7 +1349,7 @@ def run_pe(
                 workspace=pipe.get_workspace(),
                 need_seq=params.trunc_n,
                 batch_bytes=cfg.bytes_per_batch,
-                need_rows=need_rows,
+                need_rows=need_rows(),
             )
         if mtr is not None:
             mtr.add_chunk(packed.n_records, len(chunk))
@@ -1370,7 +1386,7 @@ def run_pe(
                             workspace=ws,
                             need_seq=params.trunc_n,
                             est_rec_bytes=state["est"],
-                            need_rows=need_rows,
+                            need_rows=need_rows(),
                         )
                     off += consumed
                     if packed.n_records == 0:
@@ -1405,7 +1421,7 @@ def run_pe(
                                 l_max=state["l_max"], batch_multiple=bm,
                                 workspace=ws, need_seq=params.trunc_n,
                                 est_rec_bytes=state["est"],
-                                need_rows=need_rows,
+                                need_rows=need_rows(),
                             )
                         n = packed.n_records
                         if n % 2 and (src.r.peek_window_bytes() > 0):
@@ -1492,13 +1508,14 @@ def run_pe(
         off1 = _skip_offset(arr1, off1, 4 * skip_each)
         off2 = _skip_offset(arr2, off2, 4 * skip_each)
         pos = skip_each
-        combine = need_rows  # indexed mode keeps per-mate dispatch
+        # indexed chunks keep per-mate dispatch (two source buffers)
         while True:
             pk1 = pk2 = None
             n1 = n2 = 0
             c1 = c2 = 0
             comb = None
             eff, bm = eff_chunk()
+            combine = nr = need_rows()
             timer = _stage(mtr, "pack")
             timer.__enter__()
             ws1 = None
@@ -1515,7 +1532,7 @@ def run_pe(
                     workspace=ws1, need_seq=params.trunc_n,
                     est_rec_bytes=state["est"],
                     batch_bytes=cfg.bytes_per_batch,
-                    need_rows=need_rows,
+                    need_rows=nr,
                 )
                 off1 += c1
                 state["l_max"] = max(state["l_max"], pk1.max_len)
@@ -1537,7 +1554,7 @@ def run_pe(
                         workspace=ws2, need_seq=params.trunc_n,
                         est_rec_bytes=state["est"],
                         batch_bytes=cfg.bytes_per_batch,
-                        need_rows=need_rows,
+                        need_rows=nr,
                     )
                 except _OffsetOverflow:
                     # mate-2 rows outgrow the shared stride: repack this
@@ -1554,7 +1571,7 @@ def run_pe(
                         workspace=ws2, need_seq=params.trunc_n,
                         est_rec_bytes=state["est"],
                         batch_bytes=cfg.bytes_per_batch,
-                        need_rows=need_rows,
+                        need_rows=nr,
                     )
                 off2 += c2
                 state["l_max"] = max(state["l_max"], pk2.max_len)
