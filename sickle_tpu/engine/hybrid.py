@@ -118,7 +118,6 @@ class HybridCutsFn:
         self._draining = False
         self._lk = threading.Lock()
         self._suspect = False
-        self._device_idle = True
         self.n_device = 0
         self.n_host = 0
         self.n_rescued = 0
@@ -349,9 +348,27 @@ class HybridCutsFn:
             threads, self._threads = self._threads, []
         if not threads:
             return True
+
+        def send_sentinel(q):
+            # NEVER block: a wedged worker leaves its depth-1 queue full,
+            # and a blocking put would deadlock close() itself (the exact
+            # scenario the wedge detection below must survive).  Drain
+            # abandoned slots (their run already failed) to make room.
+            for _ in range(3):
+                try:
+                    q.put_nowait(_SENTINEL)
+                    return
+                except queue.Full:
+                    try:
+                        stale = q.get_nowait()
+                        if stale is not _SENTINEL:
+                            stale.fill("err", RuntimeError("dispatcher closed"))
+                    except queue.Empty:
+                        pass
+
         if self.device_fn is not None:
-            self._device_q.put(_SENTINEL)
-        self._host_q.put(_SENTINEL)
+            send_sentinel(self._device_q)
+        send_sentinel(self._host_q)
         ok = True
         for t in threads:
             t.join(timeout=5)
@@ -404,7 +421,6 @@ class HybridCutsFn:
                     self._finish(*local.popleft())
                 return
             if slot is not None:
-                self._device_idle = False
                 _, seq, qual, lengths, qual_clean, wire = slot.job
                 try:
                     t0 = time.monotonic()
@@ -416,7 +432,6 @@ class HybridCutsFn:
             while len(local) > window or (slot is None and local):
                 self._finish(*local.popleft())
             if not local and self._device_q.empty():
-                self._device_idle = True
                 self._suspect = False  # drained: give the device a new shot
 
     def _finish(self, slot, result, t0):
@@ -424,15 +439,13 @@ class HybridCutsFn:
 
         try:
             n = slot.job[2].shape[0]
-            filled = slot.fill("ok", _materialize(result, n))
+            slot.fill("ok", _materialize(result, n))
             ms = (time.monotonic() - t0) * 1e3
             e = self.ewma_dev_ms
             self.ewma_dev_ms = ms if e is None else 0.7 * e + 0.3 * ms
             self._last_dev_mono = time.monotonic()
         except BaseException as e:
-            filled = slot.fill("err", e)
-        if not filled:
-            pass  # rescue won; late device result discarded
+            slot.fill("err", e)  # no-op if a rescue already won
 
 
 def hybrid_enabled(cfg_hybrid: Optional[bool]) -> bool:

@@ -313,30 +313,46 @@ class _BgzfSource:
             arr = np.empty(size, np.uint8)
         return arr
 
-    def refill(self) -> bool:
-        """Rotate to a fresh buffer (carrying unconsumed leftover bytes)
-        and inflate the next block window into it.  False at EOF/limit."""
+    def refill(self, min_total: int = 0) -> bool:
+        """Extend the live span with the next inflate window.  False at
+        EOF/limit.  Appends IN PLACE when the current buffer has room
+        (bytes before ``end`` are immutable, so pinned chunks are
+        unaffected); rotates to a fresh buffer — sized for
+        ``min_total`` so a multi-window chunk rotates once, not per
+        window — only when capacity runs out."""
         if self.remaining is not None and self.remaining <= 0:
             return False
         need = self.r.peek_window_bytes()
         if need == 0:
             return False
         live = self.end - self.pos
-        arr = self._take_buffer(live + need)
-        if live:
-            arr[:live] = self.cur.arr[self.pos : self.end]
-        if self.cur is not None:
-            self.cur.release()  # producer's ref on the old window
-        self.cur = _RefBuf(arr, self._free)
-        self.pos, self.end = 0, live
-        n = self.r.inflate_into(arr, live)
+        if self.cur is None or self.cur.arr.size - self.end < need:
+            # rotate: carry the leftover into a fresh, generously sized
+            # buffer (growth-doubling keeps the pool's arrays reusable)
+            size = max(live + need, min_total,
+                       (self.cur.arr.size * 2) if self.cur is not None else 0)
+            arr = self._take_buffer(size)
+            if live:
+                arr[:live] = self.cur.arr[self.pos : self.end]
+            if self.cur is not None:
+                self.cur.release()  # producer's ref on the old window
+            self.cur = _RefBuf(arr, self._free)
+            self.pos, self.end = 0, live
+        n = self.r.inflate_into(self.cur.arr, self.end)
         if n <= 0:
-            return live > 0
+            return False
         if self.remaining is not None:
             n = min(n, self.remaining)
             self.remaining -= n
-        self.end = live + n
+        self.end += n
         return True
+
+    def exhausted(self) -> bool:
+        """True when no further bytes can be produced (the parser may
+        then apply EOF trailing-line semantics to the current span)."""
+        if self.remaining is not None and self.remaining <= 0:
+            return True
+        return self.r.peek_window_bytes() == 0
 
     def close(self):
         if self.cur is not None:
@@ -1129,7 +1145,8 @@ def run_se(
                     eff, bm = _effective_chunk(cfg, state["l_max"])
                     want = eff * max(state["est"], 300)
                     while (src.end - src.pos < want
-                           and not pipe.stop.is_set() and src.refill()):
+                           and not pipe.stop.is_set()
+                           and src.refill(min_total=want)):
                         pass
                     if src.end <= src.pos:
                         break
@@ -1144,13 +1161,18 @@ def run_se(
                             est_rec_bytes=state["est"],
                             batch_bytes=cfg.bytes_per_batch,
                             need_rows=need_rows(),
+                            at_eof=src.exhausted(),
                         )
-                    src.pos += consumed
-                    if packed.n_records == 0:  # partial record at window end
+                    if packed.n_records == 0:
+                        # a record spans past the window: extend WITHOUT
+                        # advancing pos (the n==0 'consumed' covers the
+                        # partial bytes, which the next pack still needs)
                         pipe.ws_pool.put(ws)
-                        if not src.refill():
+                        if not src.refill(min_total=2 * want):
+                            src.pos += consumed  # true EOF: partial dropped
                             break
                         continue
+                    src.pos += consumed
                     if mtr is not None:
                         mtr.add_chunk(packed.n_records, consumed)
                     state["consumed"] += packed.n_records
@@ -1408,7 +1430,8 @@ def run_pe(
                         eff, bm = eff_chunk()
                         want = eff * max(state["est"], 300)
                         while (src.end - src.pos < want
-                               and not pipe.stop.is_set() and src.refill()):
+                               and not pipe.stop.is_set()
+                               and src.refill(min_total=want)):
                             pass
                         if src.end <= src.pos:
                             break
@@ -1422,8 +1445,16 @@ def run_pe(
                                 workspace=ws, need_seq=params.trunc_n,
                                 est_rec_bytes=state["est"],
                                 need_rows=need_rows(),
+                                at_eof=src.exhausted(),
                             )
                         n = packed.n_records
+                        if n == 0:  # record spans past the window (see
+                            # the se producer): extend, don't advance
+                            pipe.ws_pool.put(ws)
+                            if not src.refill(min_total=2 * want):
+                                src.pos += consumed
+                                break
+                            continue
                         if n % 2 and (src.r.peek_window_bytes() > 0):
                             # keep pairs whole across window boundaries:
                             # hand the odd record back to the stream (it
@@ -1437,8 +1468,10 @@ def run_pe(
                                 packed.qual[n] = 0
                         src.pos += consumed
                         if n == 0:
+                            # odd-carry emptied the chunk (single record
+                            # in the window): extend and retry
                             pipe.ws_pool.put(ws)
-                            if not src.refill():
+                            if not src.refill(min_total=2 * want):
                                 break
                             continue
                         if mtr is not None:

@@ -178,13 +178,19 @@ int64_t sk_count_lines(const uint8_t* data, int64_t n) {
 // mode: sk_cuts_indexed reads records straight from `data`); the NUL
 // scan then runs on the source span so qual_clean semantics (flags bit0)
 // are unchanged, and rc=2 (undersized rows) cannot occur.
+// at_eof=0: the buffer is a STREAMING WINDOW with more data to come —
+// a trailing unterminated line is an incomplete record still being
+// decoded, NOT the file's final line, so it must not be counted (a
+// window cut mid-quality-line would otherwise validate as a short-qual
+// record).  at_eof=1 (default, whole files): the reference's
+// trailing-line semantics apply.
 int sk_parse_pack2(const uint8_t* data, int64_t n, int64_t max_records,
                    int64_t scan_hint, int64_t L, int64_t* starts4,
                    int32_t* lens4, uint8_t* seq, uint8_t* qual,
                    int32_t* lengths, int64_t* out_n_records,
                    int64_t* out_max_len, int64_t* err_record,
                    int64_t* out_flags, int n_threads, int need_seq,
-                   int pack_rows) {
+                   int pack_rows, int at_eof) {
   int64_t max_lines = max_records * 4;
   if (scan_hint <= 0 && n > (8 << 20)) {
     // no caller estimate on a large buffer: sniff the head for the
@@ -205,7 +211,8 @@ int sk_parse_pack2(const uint8_t* data, int64_t n, int64_t max_records,
     span = new_span;
   }
   int64_t n_lines = n_nl;
-  if (span == n && n > 0 && data[n - 1] != '\n' && n_lines < max_lines) {
+  if (at_eof && span == n && n > 0 && data[n - 1] != '\n' &&
+      n_lines < max_lines) {
     starts4[n_lines++] = n;  // trailing unterminated line
   }
   int64_t n_records = n_lines / 4;
@@ -336,10 +343,21 @@ static void cuts_body(int64_t lo, int64_t hi, void* vctx) {
     c->bad[r] = BIGC;
     const int32_t len = c->lengths[r];
     // upfront length filter (trim.cpp:21-26): before any quality decode,
-    // so short rows (and padding rows, len 0) never touch chars
+    // so short rows (and padding rows, len 0) never touch chars — but
+    // strict mode checks the WHOLE read regardless, matching the device
+    // path's conservative flag (ops/trim.decode_check)
     if (len < c->lthr || len <= 0) {
       c->five[r] = -1;
       c->three[r] = -1;
+      if (c->strict && len > 0) {
+        const uint8_t* q = c->qual + r * L;
+        for (int32_t j = 0; j < len; j++) {
+          if (q[j] < c->qmin || q[j] > c->qmax) {
+            c->bad[r] = j;
+            break;
+          }
+        }
+      }
       continue;
     }
     const uint8_t* q = c->qual + r * L;

@@ -441,6 +441,7 @@ def pack_fastq_stream(
     est_rec_bytes: int = 0,
     batch_bytes: Optional[int] = None,
     need_rows: bool = True,
+    at_eof: bool = True,
 ) -> Tuple[PackedReads, int]:
     """Parse up to ``max_records`` records from ``arr[offset:]`` in place.
 
@@ -456,7 +457,7 @@ def pack_fastq_stream(
     packed = _pack_fastq_native(
         view, workspace, start_position, l_max, batch_multiple, len_multiple,
         need_seq, max_records=max_records, batch_bytes=batch_bytes,
-        shrink_records=True, pack_rows=need_rows,
+        shrink_records=True, pack_rows=need_rows, at_eof=at_eof,
     )
     n = packed.n_records
     if n == 0:
@@ -478,6 +479,7 @@ def _pack_fastq_native(
     batch_bytes: Optional[int] = None,
     shrink_records: bool = False,
     pack_rows: bool = True,
+    at_eof: bool = True,
 ) -> PackedReads:
     import ctypes
 
@@ -527,6 +529,7 @@ def _pack_fastq_native(
             native.N_THREADS,
             1 if need_seq else 0,
             1 if pack_rows else 0,
+            1 if at_eof else 0,
         )
         if rc == 0:
             break

@@ -92,7 +92,7 @@ def get_lib():
         lib.sk_parse_pack2.restype = ctypes.c_int
         lib.sk_parse_pack2.argtypes = [
             pu8, i64, i64, i64, i64, p64, p32, pu8, pu8, p32, p64, p64, p64,
-            p64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            p64, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.sk_assemble.restype = None
         lib.sk_assemble.argtypes = [

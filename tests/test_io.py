@@ -202,3 +202,50 @@ def test_bgzf_empty_and_tiny(tmp_path):
     assert gzip.decompress(out.read_bytes()) == b""
     r = BgzfReader.try_open(out)
     assert r is not None and r.read() == b""
+
+
+def test_bgzf_streaming_record_spans_windows(tmp_path, monkeypatch):
+    """Zero-copy gzip producer: a record larger than the inflate window
+    must survive window boundaries byte-exactly (round-4 review: the
+    n==0 path must extend the span WITHOUT advancing past the partial
+    record's bytes)."""
+    import io as _io
+
+    import numpy as np
+
+    from sickle_tpu.constants import QualityType
+    from sickle_tpu.engine import EngineConfig, run_se
+    from sickle_tpu.io import native
+    from sickle_tpu.io.compression import BgzfReader, BgzfWriter, open_input
+    from sickle_tpu.ops import TrimParams
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(11)
+    recs = []
+    for i in range(30):
+        L = 50_000 + (i % 3) * 7
+        seq = rng.choice(list(b"ACGT"), L).astype(np.uint8).tobytes()
+        q = rng.integers(33 + 30, 33 + 41, L).astype(np.uint8).tobytes()
+        recs.append(b"@r%d\n%s\n+\n%s\n" % (i, seq, q))
+    data = b"".join(recs)
+    gz = tmp_path / "long.fastq.gz"
+    w = BgzfWriter(str(gz))
+    w.write(data)
+    w.close()
+
+    params = TrimParams(qualtype=QualityType.SANGER, qual_threshold=20,
+                        length_threshold=20)
+    cfg = lambda: EngineConfig(records_per_chunk=8)  # noqa: E731
+
+    ref = _io.BytesIO()
+    run_se(_io.BytesIO(data), ref, params, cfg=cfg())
+
+    # 1-block (48 KiB) windows: every record straddles boundaries
+    monkeypatch.setattr(BgzfReader, "WINDOW_BLOCKS", 1)
+    got = _io.BytesIO()
+    with open_input(str(gz)) as fin:
+        assert isinstance(fin, BgzfReader)
+        c = run_se(fin, got, params, cfg=cfg())
+    assert c.total == 30
+    assert got.getvalue() == ref.getvalue()

@@ -117,3 +117,39 @@ def test_host_kernel_no_native_fallback(monkeypatch):
     assert (int(five[0]), int(three[0])) == want
     assert (int(five[1]), int(three[1])) == (-1, -1)  # below length threshold
     assert np.all(bad == BIG)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_host_kernel_strict_flags_short_reads():
+    """--strict must flag out-of-range chars even in reads below the
+    length threshold (the device path's whole-read check does; round-4
+    review finding)."""
+    L = 128
+    qual = np.zeros((2, L), np.uint8)
+    qual[0, :10] = 80
+    qual[0, 5] = 5  # junk in a len-10 read, threshold 20 -> discarded early
+    qual[1, :10] = 80
+    lens = np.array([10, 10], np.int32)
+    params_lazy = TrimParams(qual_threshold=20, length_threshold=20)
+    params_strict = TrimParams(qual_threshold=20, length_threshold=20,
+                               strict=True)
+    _, _, bad_lazy = compute_cuts_host(None, qual, lens, params_lazy)
+    _, _, bad_strict = compute_cuts_host(None, qual, lens, params_strict)
+    assert bad_lazy[0] == BIG, "lazy semantics: never touched, no flag"
+    assert bad_strict[0] == 5, "strict: whole-read check flags it"
+    assert bad_strict[1] == BIG
+
+    # indexed variant agrees
+    from sickle_tpu.ops.trim_host import compute_cuts_indexed
+
+    rec = b"@r\n" + b"A" * 10 + b"\n+\n" + bytes([80] * 5 + [5] + [80] * 4) + b"\n"
+    data = np.frombuffer(rec * 2, np.uint8)
+    from sickle_tpu.io.fastq import PackWorkspace, pack_fastq_stream
+
+    ws = PackWorkspace(need_seq=False)
+    packed, _ = pack_fastq_stream(data, 0, 4, workspace=ws, need_seq=False,
+                                  need_rows=False)
+    n = packed.n_records
+    _, _, bad_i = compute_cuts_indexed(data, ws.starts4[:4 * n],
+                                       ws.lens4[:4 * n], n, params_strict)
+    assert bad_i[0] == 5
