@@ -344,6 +344,13 @@ def _build_cuts_fn(params: TrimParams, devices: Optional[int], rpc: int):
     mult = max(n, 8)
     rpc = -(-rpc // mult) * mult
     fn = sharded_cuts_fn(params, mesh)
+    # the mesh path inherits the hybrid dispatcher too: host failover /
+    # assist applies per-host regardless of chip count
+    from .engine.hybrid import HybridCutsFn, hybrid_enabled
+    from .io import native as _native
+
+    if hybrid_enabled(None) and _native.available():
+        fn = HybridCutsFn(params, fn)
     _ACTIVE_CUTS_FN = fn
     return fn, rpc
 

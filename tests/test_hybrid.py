@@ -131,3 +131,26 @@ def test_hybrid_quality_error_parity(tmp_path):
     finally:
         fn.close()
     assert "does not fall within correct range" in e.value.message
+
+
+def test_cli_mesh_path_hybrid_byte_identity(tmp_path):
+    """--devices 8 (virtual CPU mesh) goes through the hybrid wrapper in
+    the CLI; output must equal the single-device run byte-for-byte."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SICKLE_TPU_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
+    out1 = tmp_path / "one.fastq"
+    out8 = tmp_path / "mesh.fastq"
+    base = [sys.executable, "-m", "sickle_tpu", "se", "-f", FIXTURE,
+            "-t", "sanger", "-q", "60"]
+    for out, extra in ((out1, ["--devices", "1"]),
+                       (out8, ["--devices", "8"])):
+        r = subprocess.run(base + ["-o", str(out)] + extra, env=env,
+                           capture_output=True, timeout=240,
+                           cwd=os.path.dirname(os.path.dirname(__file__)))
+        assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert out1.read_bytes() == out8.read_bytes()
+    assert out1.stat().st_size > 0
