@@ -154,3 +154,30 @@ def test_cli_mesh_path_hybrid_byte_identity(tmp_path):
         assert r.returncode == 0, r.stderr.decode()[-2000:]
     assert out1.read_bytes() == out8.read_bytes()
     assert out1.stat().st_size > 0
+
+
+def test_hybrid_pe_host_only_indexed_matches():
+    """pe two-file through the host-only hybrid (indexed rows): byte
+    parity with the oracle across outputs and counters."""
+    from sickle_tpu import oracle
+    from sickle_tpu.engine import run_pe
+
+    d1 = open("/root/reference/test/test.f.fastq", "rb").read()
+    d2 = open("/root/reference/test/test.r.fastq", "rb").read()
+    p = params()
+    fn = HybridCutsFn(p, None)
+    o1, o2, so = io.BytesIO(), io.BytesIO(), io.BytesIO()
+    try:
+        c = run_pe(io.BytesIO(d1), io.BytesIO(d2), out1=o1, out2=o2,
+                   singles_out=so, params=p,
+                   cfg=EngineConfig(records_per_chunk=256), cuts_fn=fn)
+    finally:
+        fn.close()
+    w1, w2, ws, cc = oracle.trim_pe(d1, d2, qualtype=QualityType.SANGER,
+                                    qual_threshold=60, length_threshold=20)
+    assert o1.getvalue() == w1
+    assert o2.getvalue() == w2
+    assert so.getvalue() == ws
+    assert (c.kept_p, c.kept_s1, c.kept_s2, c.discard_p) == (
+        cc.kept_p, cc.kept_s1, cc.kept_s2, cc.discard_p)
+    assert fn.n_host > 0 and fn.n_device == 0

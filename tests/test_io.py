@@ -249,3 +249,47 @@ def test_bgzf_streaming_record_spans_windows(tmp_path, monkeypatch):
         c = run_se(fin, got, params, cfg=cfg())
     assert c.total == 30
     assert got.getvalue() == ref.getvalue()
+
+
+def test_bgzf_interleaved_pe_pairs_span_windows(tmp_path, monkeypatch):
+    """Interleaved pe over BGZF with 1-block windows: the odd-record
+    carry must keep pairs whole across window boundaries, byte-exactly."""
+    import io as _io
+
+    from sickle_tpu import oracle
+    from sickle_tpu.constants import QualityType
+    from sickle_tpu.engine import EngineConfig, run_pe
+    from sickle_tpu.io import native
+    from sickle_tpu.io.compression import BgzfReader, BgzfWriter, open_input
+    from sickle_tpu.ops import TrimParams
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(13)
+    recs = []
+    for i in range(40):  # ~27 KB records vs 48 KB windows: frequent odd cuts
+        L = 9000 + (i % 5) * 11
+        seq = rng.choice(list(b"ACGT"), L).astype(np.uint8).tobytes()
+        q = rng.integers(33 + 25, 33 + 41, L).astype(np.uint8).tobytes()
+        recs.append(b"@m%d/%d\n%s\n+\n%s\n" % (i // 2, i % 2 + 1, seq, q))
+    data = b"".join(recs)
+    gz = tmp_path / "inter.fastq.gz"
+    w = BgzfWriter(str(gz))
+    w.write(data)
+    w.close()
+
+    params = TrimParams(qualtype=QualityType.SANGER, qual_threshold=20,
+                        length_threshold=20)
+    want1, _, wants, wc = oracle.trim_pe(
+        data, interleaved=True, qualtype=QualityType.SANGER,
+        qual_threshold=20, length_threshold=20)
+
+    monkeypatch.setattr(BgzfReader, "WINDOW_BLOCKS", 1)
+    o1, so = _io.BytesIO(), _io.BytesIO()
+    with open_input(str(gz)) as fin:
+        assert isinstance(fin, BgzfReader)
+        c = run_pe(fin, None, interleaved=True, out1=o1, singles_out=so,
+                   params=params, cfg=EngineConfig(records_per_chunk=8))
+    assert o1.getvalue() == want1
+    assert so.getvalue() == wants
+    assert c.total == wc.total == 40
