@@ -454,8 +454,8 @@ def _settle_link(max_wait=None):
         time.sleep(20)
 
 
-def _device_scan_rate(src, params, cfg, warm_chunk, iters=32):
-    """Device-resident kernel rate via chained iteration: ``iters`` kernel
+def _device_scan_rate(src, params, cfg, warm_chunk):
+    """Device-resident kernel rate via chained iteration: K kernel
     calls inside ONE jit, each iteration's input data-dependent on the
     previous output, so XLA can neither hoist nor elide the kernel and
     the tunneled link contributes exactly one RPC round-trip (the

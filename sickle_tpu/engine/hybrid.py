@@ -36,8 +36,6 @@ import threading
 import time
 from typing import Optional
 
-import numpy as np
-
 from ..ops import TrimParams
 from ..ops.trim_host import compute_cuts_host
 
@@ -343,7 +341,7 @@ class HybridCutsFn:
         device RPC stalled for minutes holds its thread hostage) — the
         caller should avoid normal interpreter teardown in that case
         (the accelerator runtime's exit hooks join their RPC threads and
-        hang/abort; see cli._exit_code)."""
+        hang/abort; see cli._finish)."""
         with self._lk:
             threads, self._threads = self._threads, []
         if not threads:

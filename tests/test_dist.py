@@ -58,14 +58,19 @@ def _spawn_cluster(per_proc_args, n=2, timeout=240):
         assert p.returncode == 0, (p.returncode, out, err)
         # drop the Gloo transport's connection log lines (they write to
         # fd 1 unbuffered and can interleave mid-line, losing the prefix)
+        # Gloo's unbuffered fd-1 writes interleave mid-line with the
+        # CLI's stdout, leaving stray fragments ("1\n", bare newlines,
+        # half-prefixed [Gloo] lines).  Exact stdout parity is covered by
+        # the single-process CLI goldens; here keep only lines the CLI
+        # can emit (blank, or a known summary/reader prefix).
+        keep_prefixes = (
+            "SE input file:", "PE forward file:", "PE reverse file:",
+            "PE interleaved file:", "Total", "FastQ", "Building reader",
+        )
         lines = [
             ln for ln in out.decode().splitlines(keepends=True)
-            if not ln.startswith("[Gloo]") and "peer ranks" not in ln
+            if ln.strip() == "" or ln.startswith(keep_prefixes)
         ]
-        # Gloo's unbuffered fd-1 writes can interleave mid-line, leaving a
-        # stray bare newline after the filter; exact stdout parity is
-        # covered by the single-process CLI goldens, so normalize the
-        # leading blank run here (keep ONE leading \n, the parity text's)
         text = "".join(lines)
         stripped = text.lstrip("\n")
         if text != stripped:
