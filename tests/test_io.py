@@ -293,3 +293,38 @@ def test_bgzf_interleaved_pe_pairs_span_windows(tmp_path, monkeypatch):
     assert o1.getvalue() == want1
     assert so.getvalue() == wants
     assert c.total == wc.total == 40
+
+
+def test_pe_two_file_bgzf_inputs(tmp_path):
+    """pe with BOTH inputs BGZF-compressed (the chunked-reader fallback
+    path): outputs byte-identical to plain-file inputs."""
+    import io as _io
+
+    from sickle_tpu.constants import QualityType
+    from sickle_tpu.engine import EngineConfig, run_pe
+    from sickle_tpu.io import native
+    from sickle_tpu.io.compression import BgzfWriter, open_input
+    from sickle_tpu.ops import TrimParams
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    d1 = open("/root/reference/test/test.f.fastq", "rb").read()
+    d2 = open("/root/reference/test/test.r.fastq", "rb").read()
+    gz1, gz2 = tmp_path / "f.fastq.gz", tmp_path / "r.fastq.gz"
+    for path, data in ((gz1, d1), (gz2, d2)):
+        w = BgzfWriter(str(path))
+        w.write(data)
+        w.close()
+
+    params = TrimParams(qualtype=QualityType.SANGER, qual_threshold=60,
+                        length_threshold=20)
+    outs = {}
+    for tag, s1, s2 in (("plain", _io.BytesIO(d1), _io.BytesIO(d2)),
+                        ("bgzf", open_input(str(gz1)), open_input(str(gz2)))):
+        o1, o2, so = _io.BytesIO(), _io.BytesIO(), _io.BytesIO()
+        c = run_pe(s1, s2, out1=o1, out2=o2, singles_out=so, params=params,
+                   cfg=EngineConfig(records_per_chunk=512))
+        outs[tag] = (o1.getvalue(), o2.getvalue(), so.getvalue(),
+                     c.kept_p, c.total)
+    assert outs["plain"] == outs["bgzf"]
+    assert outs["plain"][3] == 2342  # golden pe counters
