@@ -350,9 +350,14 @@ def main():
             rates = _device_scan_rate(src, params, cfg0, warm_chunk)
             # headline = the engine's ACTUAL headline device program
             # (round-3 ADVICE): the planes step (decode + cuts) that the
-            # se pass executes; other kernels are recorded alongside
-            default_kernel = "engine_planes"
-            gb_rate = rates.get(default_kernel, max(rates.values(), default=0.0))
+            # se pass executes; falls back to the raw engine program when
+            # that measurement was gated as unreliable
+            reliable = {k: v for k, v in rates.items()
+                        if not k.endswith("_unreliable")}
+            default_kernel = ("engine_planes" if "engine_planes" in reliable
+                              else "engine_raw")
+            gb_rate = reliable.get(default_kernel,
+                                   max(reliable.values(), default=0.0))
             extra["device_scan_gb_per_s"] = {
                 "value": round(gb_rate, 1), "unit": "GB/s",
                 "kernel": default_kernel,
@@ -559,6 +564,15 @@ def _device_scan_rate(src, params, cfg, warm_chunk):
 
             per_iter = max((best(r2) - best(r1)) / (K2 - K1), 1e-9)
             rate = rows * L / per_iter / 1e9
+            # sanity gate: this op-bound program cannot exceed ~100 GB/s
+            # of logical u8 bytes on a v5e; a higher reading means the
+            # chained loop was elided/cached rig-side (observed on the
+            # tunneled backend) — record it as unreliable, never headline
+            if rate > 100.0:
+                log(f"device scan [{name}]: measurement unreliable "
+                    f"({rate:.0f} GB/s computed — loop elided rig-side)")
+                rates[name + "_unreliable"] = round(rate, 1)
+                continue
             log(f"device scan [{name}]: {rate:.1f} GB/s "
                 f"({per_iter * 1e3:.3f} ms per {rows>>10}k-row batch)")
             rates[name] = rate

@@ -98,14 +98,18 @@ def decode_planes(planes: jnp.ndarray) -> jnp.ndarray:
     marks padding exactly (real quality chars satisfy q_char > bias by
     the host's min/max gate) — the derive-lengths-from-zeros invariant
     survives the wire compression.
+
+    The bit extraction stays in uint8 end to end (v < 64 always fits):
+    widening to i32 before the 8x lane repeat would quadruple the
+    intermediate HBM traffic of the decode.
     """
     P, B, Lb = planes.shape
-    x = planes.astype(jnp.int32)
-    rep = jnp.repeat(x, 8, axis=2)  # [P, B, 8*Lb]
-    lane = jax.lax.broadcasted_iota(jnp.int32, rep.shape, 2) & 7
-    bits = (rep >> lane) & 1
-    w = (jnp.int32(1) << jnp.arange(P, dtype=jnp.int32))[:, None, None]
-    return jnp.sum(bits * w, axis=0)
+    rep = jnp.repeat(planes, 8, axis=2)  # uint8 [P, B, 8*Lb]
+    lane = (jax.lax.broadcasted_iota(jnp.int32, rep.shape, 2) & 7
+            ).astype(jnp.uint8)
+    bits = (rep >> lane) & jnp.uint8(1)
+    w = (jnp.uint8(1) << jnp.arange(P, dtype=jnp.uint8))[:, None, None]
+    return jnp.sum(bits * w, axis=0, dtype=jnp.int32)
 
 
 def apply_rank_lut(v: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:

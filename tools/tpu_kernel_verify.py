@@ -173,8 +173,11 @@ def main(out_path: str = "PALLAS_TPU.json") -> int:
     ):
         try:
             ms, gb = chained(kfn)
-            results[name] = {"ms_per_64k_batch": round(ms, 4),
-                             "gb_per_s": round(gb, 1)}
+            entry = {"ms_per_64k_batch": round(ms, 4),
+                     "gb_per_s": round(gb, 1)}
+            if gb > 100:  # op-bound ceiling ~100 GB/s: loop was elided
+                entry["unreliable"] = "chained loop elided/cached rig-side"
+            results[name] = entry
         except Exception as e:  # record, don't abort the artifact
             results[name] = {"error": str(e)[:300]}
 
@@ -229,11 +232,15 @@ def main(out_path: str = "PALLAS_TPU.json") -> int:
         jax.block_until_ready(r2(planes_dev, jnp.int32(salt_box["v"])))
         per_iter = max((best_total_p(r2) - best_total_p(r1)) / (K2 - K1),
                        1e-9)
-        results["engine_planes_device"] = {
+        gbp = small.size * reps / per_iter / 1e9
+        entry = {
             "ms_per_64k_batch": round(per_iter * 1e3, 4),
-            "gb_per_s": round(small.size * reps / per_iter / 1e9, 1),
+            "gb_per_s": round(gbp, 1),
             "note": "decode 6 bit-planes + derive lengths + uniform cuts",
         }
+        if gbp > 100:  # op-bound ceiling: the chained loop was elided
+            entry["unreliable"] = "chained loop elided/cached rig-side"
+        results["engine_planes_device"] = entry
     except Exception as e:
         results["engine_planes_device"] = {"error": str(e)[:300]}
     results["methodology"] = (
