@@ -368,6 +368,76 @@ def _bgzf_source(stream, byte_limit, stop) -> Optional[_BgzfSource]:
     return None
 
 
+def _produce_bgzf(src, pipe, state, mtr, params, need_rows, eff_fn,
+                  prep_put, batch_bytes=None, pair_align=False):
+    """Shared zero-copy BGZF producer loop (se and interleaved pe): pack
+    records in place from the decode window, extending the span (never
+    advancing past partial-record bytes) when a record straddles a
+    window, and — for interleaved pairs — handing an odd trailing record
+    back to the stream so pairs stay whole.  ``prep_put`` consumes each
+    finished chunk (position bookkeeping + wire prep + queue put)."""
+    try:
+        while True:
+            eff, bm = eff_fn()
+            want = eff * max(state["est"], 300)
+            while (src.end - src.pos < want
+                   and not pipe.stop.is_set()
+                   and src.refill(min_total=want)):
+                pass
+            if src.end <= src.pos:
+                break
+            ws = pipe.get_workspace()
+            view = src.cur.arr[: src.end]
+            with _stage(mtr, "pack"):
+                packed, consumed = pack_fastq_stream(
+                    view, src.pos, eff,
+                    start_position=state["consumed"],
+                    l_max=state["l_max"], batch_multiple=bm,
+                    workspace=ws, need_seq=params.trunc_n,
+                    est_rec_bytes=state["est"],
+                    batch_bytes=batch_bytes,
+                    need_rows=need_rows(),
+                    at_eof=src.exhausted(),
+                )
+            n = packed.n_records
+            if n == 0:
+                # a record spans past the window: extend WITHOUT advancing
+                # pos (the n==0 'consumed' covers the partial bytes, which
+                # the next pack still needs)
+                pipe.ws_pool.put(ws)
+                if not src.refill(min_total=2 * want):
+                    src.pos += consumed  # true EOF: partial dropped
+                    break
+                continue
+            if pair_align and n % 2 and src.r.peek_window_bytes() > 0:
+                # keep pairs whole across window boundaries: hand the odd
+                # record back to the stream (it leads the next chunk); at
+                # true EOF the odd count stands and errors like the
+                # reference
+                n -= 1
+                consumed = int(ws.starts4[4 * n])
+                packed.n_records = n
+                packed.lengths[n] = 0
+                if packed.rows_packed:
+                    packed.qual[n] = 0
+            src.pos += consumed
+            if n == 0:
+                # the odd-carry emptied a single-record window: extend
+                pipe.ws_pool.put(ws)
+                if not src.refill(min_total=2 * want):
+                    break
+                continue
+            if mtr is not None:
+                mtr.add_chunk(n, consumed)
+            state["l_max"] = max(state["l_max"], packed.max_len)
+            state["est"] = max(state["est"], -(-consumed // n))
+            packed.source_ref = src.cur
+            src.cur.retain()
+            prep_put(packed)
+    finally:
+        src.close()
+
+
 def _skip_offset(arr: np.ndarray, offset: int, n_lines: int) -> Optional[int]:
     """Byte offset just past the ``n_lines``-th newline at/after ``offset``
     (checkpoint fast-forward), or None if the buffer has fewer lines."""
@@ -1140,52 +1210,15 @@ def run_se(
         if src is not None:
             # zero-copy gzip: BGZF windows inflate straight into the pack
             # source buffer; records parse in place (see _BgzfSource)
-            try:
-                while True:
-                    eff, bm = _effective_chunk(cfg, state["l_max"])
-                    want = eff * max(state["est"], 300)
-                    while (src.end - src.pos < want
-                           and not pipe.stop.is_set()
-                           and src.refill(min_total=want)):
-                        pass
-                    if src.end <= src.pos:
-                        break
-                    ws = pipe.get_workspace()
-                    view = src.cur.arr[: src.end]
-                    with _stage(mtr, "pack"):
-                        packed, consumed = pack_fastq_stream(
-                            view, src.pos, eff,
-                            start_position=state["consumed"],
-                            l_max=state["l_max"], batch_multiple=bm,
-                            workspace=ws, need_seq=params.trunc_n,
-                            est_rec_bytes=state["est"],
-                            batch_bytes=cfg.bytes_per_batch,
-                            need_rows=need_rows(),
-                            at_eof=src.exhausted(),
-                        )
-                    if packed.n_records == 0:
-                        # a record spans past the window: extend WITHOUT
-                        # advancing pos (the n==0 'consumed' covers the
-                        # partial bytes, which the next pack still needs)
-                        pipe.ws_pool.put(ws)
-                        if not src.refill(min_total=2 * want):
-                            src.pos += consumed  # true EOF: partial dropped
-                            break
-                        continue
-                    src.pos += consumed
-                    if mtr is not None:
-                        mtr.add_chunk(packed.n_records, consumed)
-                    state["consumed"] += packed.n_records
-                    state["l_max"] = max(state["l_max"], packed.max_len)
-                    state["est"] = max(state["est"],
-                                       -(-consumed // packed.n_records))
-                    packed.source_ref = src.cur
-                    src.cur.retain()
-                    if prep is not None:
-                        prep(packed)
-                    pipe.pack_q.put(packed)
-            finally:
-                src.close()
+            def prep_put(packed):
+                state["consumed"] += packed.n_records
+                if prep is not None:
+                    prep(packed)
+                pipe.pack_q.put(packed)
+
+            _produce_bgzf(src, pipe, state, mtr, params, need_rows,
+                          lambda: _effective_chunk(cfg, state["l_max"]),
+                          prep_put, batch_bytes=cfg.bytes_per_batch)
             return
         for chunk in iter_record_chunks(
             _bounded(in_stream, cfg.byte_limit),
@@ -1425,64 +1458,8 @@ def run_pe(
             src = (_bgzf_source(in1, cfg.byte_limit, pipe.stop)
                    if cfg.skip_records == 0 else None)
             if src is not None:  # zero-copy gzip (see run_se)
-                try:
-                    while True:
-                        eff, bm = eff_chunk()
-                        want = eff * max(state["est"], 300)
-                        while (src.end - src.pos < want
-                               and not pipe.stop.is_set()
-                               and src.refill(min_total=want)):
-                            pass
-                        if src.end <= src.pos:
-                            break
-                        ws = pipe.get_workspace()
-                        view = src.cur.arr[: src.end]
-                        with _stage(mtr, "pack"):
-                            packed, consumed = pack_fastq_stream(
-                                view, src.pos, eff,
-                                start_position=state["consumed"],
-                                l_max=state["l_max"], batch_multiple=bm,
-                                workspace=ws, need_seq=params.trunc_n,
-                                est_rec_bytes=state["est"],
-                                need_rows=need_rows(),
-                                at_eof=src.exhausted(),
-                            )
-                        n = packed.n_records
-                        if n == 0:  # record spans past the window (see
-                            # the se producer): extend, don't advance
-                            pipe.ws_pool.put(ws)
-                            if not src.refill(min_total=2 * want):
-                                src.pos += consumed
-                                break
-                            continue
-                        if n % 2 and (src.r.peek_window_bytes() > 0):
-                            # keep pairs whole across window boundaries:
-                            # hand the odd record back to the stream (it
-                            # leads the next chunk); at true EOF the odd
-                            # count stands and errors like the reference
-                            n -= 1
-                            consumed = int(ws.starts4[4 * n])
-                            packed.n_records = n
-                            packed.lengths[n] = 0
-                            if packed.rows_packed:
-                                packed.qual[n] = 0
-                        src.pos += consumed
-                        if n == 0:
-                            # odd-carry emptied the chunk (single record
-                            # in the window): extend and retry
-                            pipe.ws_pool.put(ws)
-                            if not src.refill(min_total=2 * want):
-                                break
-                            continue
-                        if mtr is not None:
-                            mtr.add_chunk(n, consumed)
-                        state["l_max"] = max(state["l_max"], packed.max_len)
-                        state["est"] = max(state["est"], -(-consumed // n))
-                        packed.source_ref = src.cur
-                        src.cur.retain()
-                        put_interleaved(packed)
-                finally:
-                    src.close()
+                _produce_bgzf(src, pipe, state, mtr, params, need_rows,
+                              eff_chunk, put_interleaved, pair_align=True)
                 return
             for chunk in iter_record_chunks(_bounded(in1, cfg.byte_limit),
                                             lambda: eff_chunk()[0],

@@ -181,3 +181,34 @@ def test_hybrid_pe_host_only_indexed_matches():
     assert (c.kept_p, c.kept_s1, c.kept_s2, c.discard_p) == (
         cc.kept_p, cc.kept_s1, cc.kept_s2, cc.discard_p)
     assert fn.n_host > 0 and fn.n_device == 0
+
+
+def test_hybrid_host_only_long_reads():
+    """ONT-scale reads (50 kbp) through the host-only hybrid (indexed
+    path; byte-budget chunk shrinking) match the oracle."""
+    from sickle_tpu import oracle
+
+    rng = np.random.default_rng(21)
+    recs = []
+    for i in range(24):
+        L = 50_000 - (i * 13) % 40
+        seq = rng.choice(list(b"ACGT"), L).astype(np.uint8).tobytes()
+        q = np.full(L, 70, np.uint8)
+        q[: L // 6] = 33 + 5
+        q[-L // 7:] = 33 + 3
+        recs.append(b"@L%d\n%s\n+\n%s\n" % (i, seq, q.tobytes()))
+    data = b"".join(recs)
+    p = TrimParams(qualtype=QualityType.SANGER, qual_threshold=20,
+                   length_threshold=20)
+    fn = HybridCutsFn(p, None)
+    out = io.BytesIO()
+    try:
+        c = run_se(io.BytesIO(data), out, p,
+                   cfg=EngineConfig(records_per_chunk=8,
+                                    bytes_per_batch=1 << 20), cuts_fn=fn)
+    finally:
+        fn.close()
+    want, wc = oracle.trim_se(data, qualtype=QualityType.SANGER,
+                              qual_threshold=20, length_threshold=20)
+    assert out.getvalue() == want
+    assert (c.total, c.kept) == (wc.total, wc.kept) == (24, wc.kept)
