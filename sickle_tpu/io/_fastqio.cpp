@@ -824,6 +824,60 @@ int sk_bitplanes(const uint8_t* qual, int64_t B, int64_t L, uint8_t bias,
 }  // extern "C"
 
 #include <zlib.h>
+#include <dlfcn.h>
+
+namespace {
+
+// libdeflate (dlopen'd at first use, zlib fallback): ~2-3x faster
+// per-core inflate/deflate than zlib for whole-buffer (single-shot)
+// work, which is exactly the BGZF block shape.  The reference is
+// zlib-only (/root/reference/src/GZReader.cpp:13,77); we keep zlib for
+// the serial streaming paths and use libdeflate for the block-parallel
+// BGZF codec below.
+struct LibDeflate {
+  void* (*alloc_decompressor)();
+  // returns 0 (LIBDEFLATE_SUCCESS) on success
+  int (*gzip_decompress)(void*, const void*, size_t, void*, size_t, size_t*);
+  void (*free_decompressor)(void*);
+  void* (*alloc_compressor)(int);
+  size_t (*deflate_compress)(void*, const void*, size_t, void*, size_t);
+  void (*free_compressor)(void*);
+  uint32_t (*crc32)(uint32_t, const void*, size_t);
+  bool ok = false;
+};
+
+const LibDeflate& libdeflate() {
+  static const LibDeflate ld = [] {
+    LibDeflate d{};
+    void* h = dlopen("libdeflate.so.0", RTLD_NOW | RTLD_LOCAL);
+    if (!h) h = dlopen("libdeflate.so", RTLD_NOW | RTLD_LOCAL);
+    if (!h) return d;
+    auto sym = [h](const char* name) { return dlsym(h, name); };
+    d.alloc_decompressor = reinterpret_cast<void* (*)()>(
+        sym("libdeflate_alloc_decompressor"));
+    d.gzip_decompress =
+        reinterpret_cast<int (*)(void*, const void*, size_t, void*, size_t,
+                                 size_t*)>(sym("libdeflate_gzip_decompress"));
+    d.free_decompressor = reinterpret_cast<void (*)(void*)>(
+        sym("libdeflate_free_decompressor"));
+    d.alloc_compressor = reinterpret_cast<void* (*)(int)>(
+        sym("libdeflate_alloc_compressor"));
+    d.deflate_compress =
+        reinterpret_cast<size_t (*)(void*, const void*, size_t, void*,
+                                    size_t)>(sym("libdeflate_deflate_compress"));
+    d.free_compressor = reinterpret_cast<void (*)(void*)>(
+        sym("libdeflate_free_compressor"));
+    d.crc32 = reinterpret_cast<uint32_t (*)(uint32_t, const void*, size_t)>(
+        sym("libdeflate_crc32"));
+    d.ok = d.alloc_decompressor && d.gzip_decompress && d.free_decompressor &&
+           d.alloc_compressor && d.deflate_compress && d.free_compressor &&
+           d.crc32;
+    return d;
+  }();
+  return ld;
+}
+
+}  // namespace
 
 namespace {
 
@@ -894,15 +948,25 @@ int64_t sk_bgzf_inflate(const uint8_t* data, const int64_t* offs,
   std::atomic<int64_t> bad(0);
   int nt = std::max(1, n_threads);
   std::atomic<int64_t> cursor(0);
+  const LibDeflate& ld = libdeflate();
   run_tasks(nt, [&](int) {
+    void* dec = ld.ok ? ld.alloc_decompressor() : nullptr;
     z_stream zs;
     for (;;) {
       int64_t i = cursor.fetch_add(1);
-      if (i >= count || bad.load(std::memory_order_relaxed)) return;
+      if (i >= count || bad.load(std::memory_order_relaxed)) break;
+      if (dec) {
+        // nullptr actual-size => must decompress to exactly usizes[i]
+        int rc = ld.gzip_decompress(dec, data + offs[i], size_t(csizes[i]),
+                                    out + uoffs[i], size_t(usizes[i]),
+                                    nullptr);
+        if (rc != 0) bad.store(i + 1);
+        continue;
+      }
       memset(&zs, 0, sizeof(zs));
       if (inflateInit2(&zs, 15 + 16) != Z_OK) {
         bad.store(i + 1);
-        return;
+        break;
       }
       zs.next_in = const_cast<uint8_t*>(data + offs[i]);
       zs.avail_in = static_cast<uInt>(csizes[i]);
@@ -914,6 +978,7 @@ int64_t sk_bgzf_inflate(const uint8_t* data, const int64_t* offs,
       }
       inflateEnd(&zs);
     }
+    if (dec) ld.free_decompressor(dec);
   });
   return bad.load();
 }
@@ -928,11 +993,16 @@ int64_t sk_bgzf_compress(const uint8_t* data, int64_t n, int level,
   std::atomic<int64_t> cursor(0);
   std::atomic<int> failed(0);
   int nt = std::max(1, n_threads);
+  const LibDeflate& ld = libdeflate();
   run_tasks(nt, [&](int) {
+    // zlib levels 0-9 map onto libdeflate's 1-12 scale directly at the
+    // low end we use (default 4); clamp for safety.
+    void* comp = ld.ok ? ld.alloc_compressor(std::max(1, std::min(level, 12)))
+                       : nullptr;
     z_stream zs;
     for (;;) {
       int64_t i = cursor.fetch_add(1);
-      if (i >= n_blocks || failed.load(std::memory_order_relaxed)) return;
+      if (i >= n_blocks || failed.load(std::memory_order_relaxed)) break;
       const uint8_t* in = data + i * kBgzfInBlock;
       uInt in_len = static_cast<uInt>(
           std::min<int64_t>(kBgzfInBlock, n - i * kBgzfInBlock));
@@ -942,27 +1012,37 @@ int64_t sk_bgzf_compress(const uint8_t* data, int64_t n, int level,
              "\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff\x06\x00\x42\x43"
              "\x02\x00\x00\x00",
              18);
-      memset(&zs, 0, sizeof(zs));
-      if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
-                       Z_DEFAULT_STRATEGY) != Z_OK) {
-        failed.store(1);
-        return;
-      }
-      zs.next_in = const_cast<uint8_t*>(in);
-      zs.avail_in = in_len;
-      zs.next_out = o + 18;
-      zs.avail_out = static_cast<uInt>(kBgzfStride - 26);
-      int rc = deflate(&zs, Z_FINISH);
-      int64_t clen = zs.total_out;
-      deflateEnd(&zs);
-      if (rc != Z_STREAM_END) {
-        failed.store(1);
-        return;
+      int64_t clen;
+      if (comp) {
+        clen = int64_t(ld.deflate_compress(comp, in, size_t(in_len), o + 18,
+                                           size_t(kBgzfStride - 26)));
+        if (clen == 0) {  // 0 = would not fit (can't happen at our stride)
+          failed.store(1);
+          break;
+        }
+      } else {
+        memset(&zs, 0, sizeof(zs));
+        if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                         Z_DEFAULT_STRATEGY) != Z_OK) {
+          failed.store(1);
+          break;
+        }
+        zs.next_in = const_cast<uint8_t*>(in);
+        zs.avail_in = in_len;
+        zs.next_out = o + 18;
+        zs.avail_out = static_cast<uInt>(kBgzfStride - 26);
+        int rc = deflate(&zs, Z_FINISH);
+        clen = zs.total_out;
+        deflateEnd(&zs);
+        if (rc != Z_STREAM_END) {
+          failed.store(1);
+          break;
+        }
       }
       int64_t total = 18 + clen + 8;
       o[16] = static_cast<uint8_t>((total - 1) & 0xff);
       o[17] = static_cast<uint8_t>(((total - 1) >> 8) & 0xff);
-      uLong crc = crc32(0, in, in_len);
+      uLong crc = comp ? uLong(ld.crc32(0, in, in_len)) : crc32(0, in, in_len);
       uint8_t* tail = o + 18 + clen;
       tail[0] = crc & 0xff;
       tail[1] = (crc >> 8) & 0xff;
@@ -974,6 +1054,7 @@ int64_t sk_bgzf_compress(const uint8_t* data, int64_t n, int level,
       tail[7] = (in_len >> 24) & 0xff;
       bsize[i] = total;
     }
+    if (comp) ld.free_compressor(comp);
   });
   if (failed.load()) return -1;
   // compact the strided blocks into one contiguous stream

@@ -56,7 +56,7 @@ def _build() -> bool:
         return True
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-pthread", str(_SRC), "-o", str(_SO), "-lz",
+        "-pthread", str(_SRC), "-o", str(_SO), "-lz", "-ldl",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
