@@ -59,6 +59,43 @@ CutsFn = Callable[[np.ndarray, np.ndarray, np.ndarray], Tuple]
 _SENTINEL = object()
 
 
+def _emit_records(out_stream, data, fields, five, three, compat, qualtype,
+                  outbuf, n_record_mask=None) -> int:
+    """Assemble one chunk's (already filtered/ordered) records and emit
+    them to ``out_stream``; returns bytes written.
+
+    Streams exposing the ``reserve``/``commit`` protocol (io.output.
+    MmapWriter) get records scattered straight into the output file's
+    mapped pages — no intermediate buffer, no ``write(2)`` copy (the
+    reference pays both: src/trim_single.cpp:390-419).  Everything else
+    takes the classic assemble-then-write path."""
+    k = fields["name_start"].size
+    if k == 0:
+        return 0
+    reserve = getattr(out_stream, "reserve", None)
+    if reserve is not None and native.available():
+        sizes = record_out_sizes(fields["name_len"], fields["comment_len"],
+                                 five, three, compat, n_record_mask)
+        offsets = np.zeros(k, np.int64)
+        if k > 1:
+            np.cumsum(sizes[:-1], out=offsets[1:])
+        total = int(offsets[-1] + sizes[-1])
+        buf, start = reserve(total)
+        assemble_records_at(
+            data, **fields, five=five, three=three, offsets=offsets + start,
+            out_buf=buf, compat=compat, n_record_mask=n_record_mask,
+            qualtype=qualtype,
+        )
+        out_stream.commit(total)
+        return total
+    b = assemble_records(
+        data, **fields, five=five, three=three, compat=compat,
+        n_record_mask=n_record_mask, qualtype=qualtype, out=outbuf,
+    )
+    out_stream.write(b)
+    return len(b)
+
+
 def _adapt_cuts_fn(fn: CutsFn) -> Callable:
     """Normalize a cuts fn to the kwarg-accepting form
     (seq, qual, lengths, qual_clean=..., wire=...).
@@ -1279,23 +1316,13 @@ def run_se(
             counters.total += packed.n_records
             if kept:
                 idx = np.flatnonzero(keep)
-                out = assemble_records(
-                    packed.data,
-                    name_start=packed.name_start[idx],
-                    name_len=packed.name_len[idx],
-                    seq_start=packed.seq_start[idx],
-                    comment_start=packed.comment_start[idx],
-                    comment_len=packed.comment_len[idx],
-                    qual_start=packed.qual_start[idx],
-                    five=five[idx].astype(np.int64),
-                    three=three[idx].astype(np.int64),
-                    compat=cfg.compat,
-                    qualtype=params.qualtype,
-                    out=outbuf,
+                nbytes = _emit_records(
+                    out_stream, packed.data, _sel(packed, idx),
+                    five[idx].astype(np.int64), three[idx].astype(np.int64),
+                    cfg.compat, params.qualtype, outbuf,
                 )
-                out_stream.write(out)
                 if mtr is not None:
-                    mtr.add_out_bytes(len(out))
+                    mtr.add_out_bytes(nbytes)
             pipe.recycle(packed)
         if cfg.progress_cb is not None:
             cfg.progress_cb(counters)
@@ -1858,13 +1885,8 @@ def _write_interleaved_chunk(
         tv[0::2], tv[1::2] = np.maximum(t1, 0), np.maximum(t2, 0)
         mask = np.empty(2 * k, bool)
         mask[0::2], mask[1::2] = ~p1, ~p2
-        out1.write(
-            assemble_records(
-                packed.data, **fields, five=fv, three=tv,
-                compat=cfg.compat, n_record_mask=mask, qualtype=params.qualtype,
-                out=outbuf,
-            )
-        )
+        _emit_records(out1, packed.data, fields, fv, tv, cfg.compat,
+                      params.qualtype, outbuf, n_record_mask=mask)
         return
 
     both = p1 & p2
@@ -1877,12 +1899,8 @@ def _write_interleaved_chunk(
         tv = np.empty(2 * kb.size, np.int64)
         fv[0::2], fv[1::2] = f1[kb], f2[kb]
         tv[0::2], tv[1::2] = t1[kb], t2[kb]
-        out1.write(
-            assemble_records(
-                packed.data, **fields, five=fv, three=tv,
-                compat=cfg.compat, qualtype=params.qualtype, out=outbuf,
-            )
-        )
+        _emit_records(out1, packed.data, fields, fv, tv, cfg.compat,
+                      params.qualtype, outbuf)
     single = p1 ^ p2
     if single.any() and singles_out is not None:
         ks = np.flatnonzero(single)
@@ -1890,12 +1908,8 @@ def _write_interleaved_chunk(
         rows = np.where(take1, idx1[ks], idx2[ks])
         fv = np.where(take1, f1[ks], f2[ks])
         tv = np.where(take1, t1[ks], t2[ks])
-        singles_out.write(
-            assemble_records(
-                packed.data, **_sel(packed, rows), five=fv, three=tv,
-                compat=cfg.compat, qualtype=params.qualtype, out=outbuf,
-            )
-        )
+        _emit_records(singles_out, packed.data, _sel(packed, rows), fv, tv,
+                      cfg.compat, params.qualtype, outbuf)
 
 
 def _write_two_file_chunk(
@@ -1915,18 +1929,10 @@ def _write_two_file_chunk(
     both = p1 & p2
     if both.any():
         kb = np.flatnonzero(both)
-        out1.write(
-            assemble_records(
-                p1k.data, **_sel(p1k, kb), five=f1[kb], three=t1[kb],
-                compat=cfg.compat, qualtype=params.qualtype, out=outbuf,
-            )
-        )
-        out2.write(
-            assemble_records(
-                p2k.data, **_sel(p2k, kb), five=f2[kb], three=t2[kb],
-                compat=cfg.compat, qualtype=params.qualtype, out=outbuf,
-            )
-        )
+        _emit_records(out1, p1k.data, _sel(p1k, kb), f1[kb], t1[kb],
+                      cfg.compat, params.qualtype, outbuf)
+        _emit_records(out2, p2k.data, _sel(p2k, kb), f2[kb], t2[kb],
+                      cfg.compat, params.qualtype, outbuf)
     single = p1 ^ p2
     if single.any() and singles_out is not None:
         # singles come from either source file, in pair order
@@ -1939,12 +1945,8 @@ def _write_two_file_chunk(
             s1 = _sel(p1k, ks)
             s2 = _sel(p2k, ks)
             fields = {key: np.where(take1, s1[key], s2[key]) for key in s1}
-            singles_out.write(
-                assemble_records(
-                    p1k.data, **fields, five=fv, three=tv,
-                    compat=cfg.compat, qualtype=params.qualtype, out=outbuf,
-                )
-            )
+            _emit_records(singles_out, p1k.data, fields, fv, tv,
+                          cfg.compat, params.qualtype, outbuf)
         else:
             # two source buffers (zero-copy mmap producer): compute the
             # interleaved output offsets once, then one placement pass
@@ -1956,7 +1958,13 @@ def _write_two_file_chunk(
             if ks.size > 1:
                 np.cumsum(sizes[:-1], out=offsets[1:])
             total = int(offsets[-1] + sizes[-1])
-            buf = (outbuf or OutputBuffer()).ensure(total)
+            reserve = getattr(singles_out, "reserve", None)
+            if reserve is not None and native.available():
+                # scatter both sources straight into the output mapping
+                buf, start = reserve(total)
+                offsets += start
+            else:
+                buf = (outbuf or OutputBuffer()).ensure(total)
             for pk, fx, tx, take in (
                 (p1k, f1, t1, take1),
                 (p2k, f2, t2, ~take1),
@@ -1970,4 +1978,7 @@ def _write_two_file_chunk(
                         offsets=offsets[sub], out_buf=buf,
                         compat=cfg.compat, qualtype=params.qualtype,
                     )
-            singles_out.write(memoryview(buf)[:total])
+            if reserve is not None and native.available():
+                singles_out.commit(total)
+            else:
+                singles_out.write(memoryview(buf)[:total])

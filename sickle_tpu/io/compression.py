@@ -22,6 +22,7 @@ from __future__ import annotations
 import gzip
 import io
 import os
+import stat
 import struct
 import sys
 import zlib
@@ -376,4 +377,18 @@ def open_output(path: PathLike, gzip_output: bool = False) -> BinaryIO:
         if native.available():
             return BgzfWriter(path)
         return GzipChunkWriter(path)
+    if native.available() and not os.environ.get("SICKLE_TPU_NO_MMAP_OUT"):
+        # zero-copy emission: the engine assembles records straight into
+        # the output file's mapped pages (io.output.MmapWriter) — only
+        # for regular files (mmap needs one; pipes/devices fall through)
+        try:
+            from .output import MmapWriter
+
+            w = MmapWriter(path)
+            if stat.S_ISREG(os.fstat(w._fd).st_mode):
+                return w
+            w._off = 0
+            w.close()
+        except OSError:
+            pass
     return open(path, "wb", buffering=1 << 20)
