@@ -332,90 +332,263 @@ struct CutsCtx {
   int32_t* five;
   int32_t* three;
   int32_t* bad;
+  const uint8_t* qual_hard_end;  // SIMD may not read at/past this pointer
 };
+
+// Per-read scalar core: direct transcription of the reference loop
+// (src/trim.cpp:3-116 semantics; see block comment above).  q/s point at
+// this read's quality/sequence bytes; s may be null when !trunc_n.
+static inline void cut_read_scalar(const uint8_t* q, const uint8_t* s,
+                                   int32_t len, const CutsCtx* c,
+                                   int32_t* out_five, int32_t* out_three,
+                                   int32_t* out_bad) {
+  const int t = c->t;
+  int32_t w = len / 10;  // int(0.1*len) == len/10 exactly (ops/trim.py)
+  if (w == 0) w = len;
+  int32_t five = 0, three = len;
+  bool found = false;
+  int64_t twl = (int64_t)t * w;
+  int64_t total = 0;
+  for (int32_t j = 0; j < w; j++) total += q[j] - c->qoffset;
+  int32_t i = 0;
+  const int32_t i_end = len - w;  // inclusive
+  for (;; i++) {
+    if (!c->no_fiveprime && !found && total >= twl) {
+      for (int32_t j = i; j < i + w; j++) {
+        if (q[j] - c->qoffset >= t) {
+          five = j;
+          break;
+        }
+      }
+      found = true;
+    }
+    if (total < twl && (found || c->no_fiveprime)) {
+      for (int32_t j = i; j < i + w; j++) {
+        if (q[j] - c->qoffset < t) {
+          three = j;
+          break;
+        }
+      }
+      break;
+    }
+    if (i >= i_end) break;
+    total -= q[i] - c->qoffset;
+    if (i + w < len) total += q[i + w] - c->qoffset;
+  }
+  // touched extent: initial window [0, w) plus one char per slide;
+  // at loop exit index i the extent is min(i + w, len)
+  int32_t extent = c->strict ? len : std::min(i + w, len);
+  for (int32_t j = 0; j < extent; j++) {
+    if (q[j] < c->qmin || q[j] > c->qmax) {
+      *out_bad = j;
+      break;
+    }
+  }
+  if (c->trunc_n && s) {
+    const void* pa = memchr(s, c->n_lower_first ? 'n' : 'N', len);
+    const void* pb = memchr(s, c->n_lower_first ? 'N' : 'n', len);
+    const void* p = pa ? pa : pb;
+    if (p) three = (int32_t)((const uint8_t*)p - s) - 1;
+  }
+  if ((!found && !c->no_fiveprime) || (three - five < c->lthr)) {
+    *out_five = -1;
+    *out_three = -1;
+  } else {
+    *out_five = five;
+    *out_three = three;
+  }
+}
+
+#if defined(__SSE4_1__) && defined(__BMI2__)
+#define SK_CUTS_SIMD 1
+#include <immintrin.h>
+
+// Vectorized per-read core, exact-equivalent reformulation of the loop
+// above (property-tested against the oracle in tests/test_trim_host.py):
+//
+//   raw u16 prefix sums P[0..len]  (8 lanes/step, SSE)
+//   W[i] = P[i+w] - P[i]           (the reference's rolling window sum
+//                                   plus qoffset*w, folded into thr)
+//   mask bit i = (W[i] >= thr)     (subs_epu16 + movemask + pext)
+//   i5 = first set bit; i3 = first CLEAR bit at index >= i5
+//   five/three = short scalar scans inside the trigger windows
+//   range check = 16-wide in-range compare over the touched extent
+//
+// Returns false when this read must take the scalar path (length out of
+// the u16-safe range, a degenerate threshold, or the trailing-bytes
+// overread would cross qual_hard_end).
+static inline bool cut_read_simd(const uint8_t* q, const uint8_t* s,
+                                 int32_t len, const CutsCtx* c,
+                                 int32_t* out_five, int32_t* out_three,
+                                 int32_t* out_bad) {
+  if (len < 10 || len > 255) return false;
+  const int32_t w = len / 10;  // >= 1 and < len here
+  const int64_t thr64 = ((int64_t)c->t + c->qoffset) * w;
+  if (thr64 > 60000) return false;  // unreachable thresholds: scalar
+  const uint16_t thr = thr64 > 0 ? (uint16_t)thr64 : 0;
+  // prefix/range loops overread up to 15 bytes past q+len
+  if (c->qual_hard_end && q + len + 16 > c->qual_hard_end) return false;
+
+  // element threshold: q[j] - qoffset >= t  <=>  q[j] >= te
+  const int64_t te64 = (int64_t)c->t + c->qoffset;
+  const int32_t te = te64 < 0 ? 0 : (te64 > 256 ? 256 : (int32_t)te64);
+
+  alignas(16) uint16_t P[256 + 16];
+  P[0] = 0;
+  __m128i carry = _mm_setzero_si128();
+  const __m128i zero = _mm_setzero_si128();
+  for (int32_t j = 0; j < len; j += 8) {
+    __m128i v = _mm_cvtepu8_epi16(_mm_loadl_epi64(
+        reinterpret_cast<const __m128i*>(q + j)));
+    v = _mm_add_epi16(v, _mm_slli_si128(v, 2));
+    v = _mm_add_epi16(v, _mm_slli_si128(v, 4));
+    v = _mm_add_epi16(v, _mm_slli_si128(v, 8));
+    v = _mm_add_epi16(v, carry);
+    _mm_storeu_si128(reinterpret_cast<__m128i*>(P + 1 + j), v);
+    carry = _mm_set1_epi16((short)_mm_extract_epi16(v, 7));
+  }
+
+  const int32_t n_i = len - w + 1;  // window positions [0, len-w]
+  uint64_t bits[4] = {0, 0, 0, 0};
+  const __m128i thrv = _mm_set1_epi16((short)thr);
+  for (int32_t i = 0; i < n_i; i += 8) {
+    __m128i a = _mm_loadu_si128(reinterpret_cast<const __m128i*>(P + i + w));
+    __m128i b = _mm_loadu_si128(reinterpret_cast<const __m128i*>(P + i));
+    __m128i Wv = _mm_sub_epi16(a, b);
+    // W >= thr  <=>  saturating(thr - W) == 0
+    __m128i ge = _mm_cmpeq_epi16(_mm_subs_epu16(thrv, Wv), zero);
+    uint32_t m = _pext_u32((uint32_t)_mm_movemask_epi8(ge), 0xAAAAu);
+    bits[i >> 6] |= (uint64_t)m << (i & 63);
+  }
+  // clear bits at/after n_i so inverted searches stay in range
+  {
+    int32_t word = n_i >> 6, off = n_i & 63;
+    if (off) bits[word++] &= ((uint64_t)1 << off) - 1;
+    for (; word < 4; word++) bits[word] = 0;
+  }
+
+  int32_t five = 0, three = len;
+  bool found = false;
+  int32_t i5 = -1;
+  if (!c->no_fiveprime) {
+    for (int32_t word = 0; word < 4 && i5 < 0; word++) {
+      if (bits[word]) i5 = (word << 6) + __builtin_ctzll(bits[word]);
+    }
+    if (i5 >= 0) {
+      found = true;
+      for (int32_t j = i5; j < i5 + w; j++) {
+        if (q[j] >= te) {  // q - qoffset >= t (te pre-clamped)
+          five = j;
+          break;
+        }
+      }
+    }
+  }
+  // 3' trigger: first window index >= max(i5, 0) with W < thr, only
+  // meaningful once 5' fired (or with -x); W[i5] >= thr, so searching
+  // from i5 never lands on i5 itself — same order as the scalar loop
+  int32_t i3 = -1;
+  if (found || c->no_fiveprime) {
+    int32_t start = i5 < 0 ? 0 : i5;
+    for (int32_t word = start >> 6; word < 4 && i3 < 0; word++) {
+      uint64_t inv = ~bits[word];
+      if (word == (start >> 6) && (start & 63)) {
+        inv &= ~(((uint64_t)1 << (start & 63)) - 1);
+      }
+      int32_t base = word << 6;
+      // restrict to valid window positions
+      if (base >= n_i) break;
+      if (base + 64 > n_i) inv &= ((uint64_t)1 << (n_i - base)) - 1;
+      if (inv) i3 = base + __builtin_ctzll(inv);
+    }
+    if (i3 >= 0) {
+      for (int32_t j = i3; j < i3 + w; j++) {
+        if (q[j] < te) {  // q - qoffset < t
+          three = j;
+          break;
+        }
+      }
+    }
+  }
+  // loop exit index: i3 when the 3' trigger broke the slide, else i_end
+  int32_t exit_i = i3 >= 0 ? i3 : (len - w);
+  int32_t extent = c->strict ? len : std::min(exit_i + w, len);
+
+  // range check over the touched extent, 16 bytes at a time
+  const __m128i qminv = _mm_set1_epi8((char)(uint8_t)c->qmin);
+  const __m128i qmaxv = _mm_set1_epi8((char)(uint8_t)c->qmax);
+  for (int32_t j = 0; j < extent; j += 16) {
+    __m128i qv = _mm_loadu_si128(reinterpret_cast<const __m128i*>(q + j));
+    // in-range  <=>  (qmin <=u q) && (q <=u qmax), via saturating subs
+    __m128i ok = _mm_and_si128(
+        _mm_cmpeq_epi8(_mm_subs_epu8(qminv, qv), zero),
+        _mm_cmpeq_epi8(_mm_subs_epu8(qv, qmaxv), zero));
+    uint32_t m = ~(uint32_t)_mm_movemask_epi8(ok) & 0xFFFFu;
+    if (extent - j < 16) m &= ((uint32_t)1 << (extent - j)) - 1;
+    if (m) {
+      *out_bad = j + (int32_t)__builtin_ctz(m);
+      break;
+    }
+  }
+
+  if (c->trunc_n && s) {
+    const void* pa = memchr(s, c->n_lower_first ? 'n' : 'N', len);
+    const void* pb = memchr(s, c->n_lower_first ? 'N' : 'n', len);
+    const void* p = pa ? pa : pb;
+    if (p) three = (int32_t)((const uint8_t*)p - s) - 1;
+  }
+  if ((!found && !c->no_fiveprime) || (three - five < c->lthr)) {
+    *out_five = -1;
+    *out_three = -1;
+  } else {
+    *out_five = five;
+    *out_three = three;
+  }
+  return true;
+}
+#endif  // SK_CUTS_SIMD
+
+// Dispatch one read: short/padding filter, then SIMD core with scalar
+// fallback (exact same results either way).
+static inline void cut_read(const uint8_t* q, const uint8_t* s, int32_t len,
+                            const CutsCtx* c, int32_t* out_five,
+                            int32_t* out_three, int32_t* out_bad) {
+  const int32_t BIGC = 0x3FFFFFFF;
+  *out_bad = BIGC;
+  // upfront length filter (trim.cpp:21-26): before any quality decode,
+  // so short rows (and padding rows, len 0) never touch chars — but
+  // strict mode checks the WHOLE read regardless, matching the device
+  // path's conservative flag (ops/trim.decode_check)
+  if (len < c->lthr || len <= 0) {
+    *out_five = -1;
+    *out_three = -1;
+    if (c->strict && len > 0) {
+      for (int32_t j = 0; j < len; j++) {
+        if (q[j] < c->qmin || q[j] > c->qmax) {
+          *out_bad = j;
+          break;
+        }
+      }
+    }
+    return;
+  }
+#ifdef SK_CUTS_SIMD
+  static const bool no_simd = getenv("SICKLE_TPU_NO_SIMD_CUTS") != nullptr;
+  if (!no_simd &&
+      cut_read_simd(q, s, len, c, out_five, out_three, out_bad)) {
+    return;
+  }
+#endif
+  cut_read_scalar(q, s, len, c, out_five, out_three, out_bad);
+}
 
 static void cuts_body(int64_t lo, int64_t hi, void* vctx) {
   const CutsCtx* c = static_cast<const CutsCtx*>(vctx);
   const int64_t L = c->L;
-  const int32_t BIGC = 0x3FFFFFFF;
-  const int t = c->t;
   for (int64_t r = lo; r < hi; r++) {
-    c->bad[r] = BIGC;
-    const int32_t len = c->lengths[r];
-    // upfront length filter (trim.cpp:21-26): before any quality decode,
-    // so short rows (and padding rows, len 0) never touch chars — but
-    // strict mode checks the WHOLE read regardless, matching the device
-    // path's conservative flag (ops/trim.decode_check)
-    if (len < c->lthr || len <= 0) {
-      c->five[r] = -1;
-      c->three[r] = -1;
-      if (c->strict && len > 0) {
-        const uint8_t* q = c->qual + r * L;
-        for (int32_t j = 0; j < len; j++) {
-          if (q[j] < c->qmin || q[j] > c->qmax) {
-            c->bad[r] = j;
-            break;
-          }
-        }
-      }
-      continue;
-    }
-    const uint8_t* q = c->qual + r * L;
-    int32_t w = len / 10;  // int(0.1*len) == len/10 exactly (ops/trim.py)
-    if (w == 0) w = len;
-    int32_t five = 0, three = len;
-    bool found = false;
-    int64_t twl = (int64_t)t * w;
-    int64_t total = 0;
-    for (int32_t j = 0; j < w; j++) total += q[j] - c->qoffset;
-    int32_t i = 0;
-    const int32_t i_end = len - w;  // inclusive
-    for (;; i++) {
-      if (!c->no_fiveprime && !found && total >= twl) {
-        for (int32_t j = i; j < i + w; j++) {
-          if (q[j] - c->qoffset >= t) {
-            five = j;
-            break;
-          }
-        }
-        found = true;
-      }
-      if (total < twl && (found || c->no_fiveprime)) {
-        for (int32_t j = i; j < i + w; j++) {
-          if (q[j] - c->qoffset < t) {
-            three = j;
-            break;
-          }
-        }
-        break;
-      }
-      if (i >= i_end) break;
-      total -= q[i] - c->qoffset;
-      if (i + w < len) total += q[i + w] - c->qoffset;
-    }
-    // touched extent: initial window [0, w) plus one char per slide;
-    // at loop exit index i the extent is min(i + w, len)
-    int32_t extent = c->strict ? len : std::min(i + w, len);
-    for (int32_t j = 0; j < extent; j++) {
-      if (q[j] < c->qmin || q[j] > c->qmax) {
-        c->bad[r] = j;
-        break;
-      }
-    }
-    if (c->trunc_n && c->seq) {
-      const uint8_t* s = c->seq + r * L;
-      const void* pa = memchr(s, c->n_lower_first ? 'n' : 'N', len);
-      const void* pb = memchr(s, c->n_lower_first ? 'N' : 'n', len);
-      const void* p = pa ? pa : pb;
-      if (p) three = (int32_t)((const uint8_t*)p - s) - 1;
-    }
-    if ((!found && !c->no_fiveprime) || (three - five < c->lthr)) {
-      c->five[r] = -1;
-      c->three[r] = -1;
-    } else {
-      c->five[r] = five;
-      c->three[r] = three;
-    }
+    cut_read(c->qual + r * L,
+             (c->trunc_n && c->seq) ? c->seq + r * L : nullptr,
+             c->lengths[r], c, c->five + r, c->three + r, c->bad + r);
   }
 }
 
@@ -482,7 +655,7 @@ void sk_cuts(const uint8_t* seq, const uint8_t* qual, const int32_t* lengths,
              int n_threads) {
   CutsCtx ctx{seq,  qual,    lengths, L,       qoffset,       qmin,
               qmax, t,       lthr,    no_fiveprime, trunc_n,  n_lower_first,
-              strict, five,  three,   bad};
+              strict, five,  three,   bad,     qual + B * L};
   parallel_for(B, n_threads, cuts_body, &ctx);
 }
 
@@ -501,23 +674,17 @@ struct IdxCutsCtx {
 static void idx_cuts_body(int64_t lo, int64_t hi, void* vctx) {
   IdxCutsCtx* c = static_cast<IdxCutsCtx*>(vctx);
   for (int64_t r = lo; r < hi; r++) {
-    // borrow cuts_body's scalar core by faking a 1-row matrix at the
-    // record's source bytes (stride L is irrelevant for one row)
-    CutsCtx one = c->base;
     int32_t len = c->lens4[4 * r + 1];
-    one.qual = c->data + c->starts4[4 * r + 3];
-    one.seq = one.trunc_n ? c->data + c->starts4[4 * r + 1] : nullptr;
-    one.lengths = &len;
-    one.L = len;
-    one.five = c->base.five + r;
-    one.three = c->base.three + r;
-    one.bad = c->base.bad + r;
-    cuts_body(0, 1, &one);
+    cut_read(c->data + c->starts4[4 * r + 3],
+             c->base.trunc_n ? c->data + c->starts4[4 * r + 1] : nullptr,
+             len, &c->base, c->base.five + r, c->base.three + r,
+             c->base.bad + r);
   }
 }
 
-void sk_cuts_indexed(const uint8_t* data, const int64_t* starts4,
-                     const int32_t* lens4, int64_t n_records, int qoffset,
+void sk_cuts_indexed(const uint8_t* data, int64_t data_size,
+                     const int64_t* starts4, const int32_t* lens4,
+                     int64_t n_records, int qoffset,
                      int qmin, int qmax, int t, int lthr, int no_fiveprime,
                      int trunc_n, int n_lower_first, int strict,
                      int32_t* five, int32_t* three, int32_t* bad,
@@ -525,7 +692,7 @@ void sk_cuts_indexed(const uint8_t* data, const int64_t* starts4,
   IdxCutsCtx ctx{data, starts4, lens4,
                  CutsCtx{nullptr, nullptr, nullptr, 0, qoffset, qmin, qmax,
                          t, lthr, no_fiveprime, trunc_n, n_lower_first,
-                         strict, five, three, bad}};
+                         strict, five, three, bad, data + data_size}};
   parallel_for(n_records, n_threads, idx_cuts_body, &ctx);
 }
 

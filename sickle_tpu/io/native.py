@@ -107,7 +107,7 @@ def get_lib():
         ]
         lib.sk_cuts_indexed.restype = None
         lib.sk_cuts_indexed.argtypes = [
-            pu8, p64, p32, i64, ci, ci, ci, ci, ci, ci, ci, ci, ci,
+            pu8, i64, p64, p32, i64, ci, ci, ci, ci, ci, ci, ci, ci, ci,
             p32, p32, p32, ci,
         ]
         lib.sk_qual_minmax.restype = ctypes.c_int

@@ -124,7 +124,7 @@ def compute_cuts_indexed(
     three = np.empty(n_records, np.int32)
     bad = np.empty(n_records, np.int32)
     lib.sk_cuts_indexed(
-        native.ptr(data, ctypes.c_uint8),
+        native.ptr(data, ctypes.c_uint8), data.size,
         native.ptr(starts4, ctypes.c_int64),
         native.ptr(lens4, ctypes.c_int32),
         n_records, offset, qmin, qmax,
