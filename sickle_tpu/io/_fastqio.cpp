@@ -52,6 +52,43 @@ void run_tasks(int n_tasks, const std::function<void(int)>& fn) {
   for (auto& th : threads) th.join();
 }
 
+#if defined(__AVX512F__) && defined(__AVX512BW__)
+#define SK_NL_SIMD 1
+#include <immintrin.h>
+
+// Count '\n' in [p, p+n) — 64 B per vpcmpeqb+popcnt step.
+static inline int64_t nl_count_simd(const uint8_t* p, int64_t n) {
+  const __m512i nl = _mm512_set1_epi8('\n');
+  int64_t c = 0, i = 0;
+  for (; i + 64 <= n; i += 64) {
+    __m512i v = _mm512_loadu_si512(p + i);
+    c += __builtin_popcountll(_mm512_cmpeq_epi8_mask(v, nl));
+  }
+  for (; i < n; i++) c += (p[i] == '\n');
+  return c;
+}
+
+// Write positions (+base) of up to `cap` newlines in [p, p+n) into idx;
+// returns count written.  cmp mask + per-bit tzcnt emit.
+static inline int64_t nl_index_simd(const uint8_t* p, int64_t n, int64_t cap,
+                                    int64_t base, int64_t* idx) {
+  const __m512i nl = _mm512_set1_epi8('\n');
+  int64_t at = 0, i = 0;
+  for (; i + 64 <= n && at + 64 <= cap; i += 64) {
+    uint64_t m = _mm512_cmpeq_epi8_mask(_mm512_loadu_si512(p + i), nl);
+    while (m) {
+      idx[at++] = base + i + __builtin_ctzll(m);
+      m &= m - 1;
+    }
+  }
+  // tail (and the cap-limited remainder) byte by byte
+  for (; i < n && at < cap; i++) {
+    if (p[i] == '\n') idx[at++] = base + i;
+  }
+  return at;
+}
+#endif  // SK_NL_SIMD
+
 // Parallel newline index over data[0, span): writes the byte positions of
 // the first `cap` newlines (+ `base` each) into idx.  Returns the number
 // written.  Two phases: per-thread counts -> prefix offsets -> writes.
@@ -59,7 +96,10 @@ int64_t index_newlines(const uint8_t* data, int64_t span, int64_t cap,
                        int64_t base, int64_t* idx, int n_threads) {
   int t = std::max(1, n_threads);
   if (span < (4 << 20)) t = 1;
-  if (t == 1) {  // single pass: memchr + write until cap
+  if (t == 1) {  // single pass: scan + write until cap
+#ifdef SK_NL_SIMD
+    return nl_index_simd(data, span, cap, base, idx);
+#else
     const uint8_t* p = data;
     const uint8_t* hi = data + span;
     int64_t at = 0;
@@ -70,21 +110,28 @@ int64_t index_newlines(const uint8_t* data, int64_t span, int64_t cap,
       p = q + 1;
     }
     return at;
+#endif
   }
   std::vector<int64_t> cnt(t, 0);
   int64_t chunk = (span + t - 1) / t;
   run_tasks(t, [&](int i) {
-    const uint8_t* p = data + std::min<int64_t>(span, i * chunk);
-    const uint8_t* hi = data + std::min<int64_t>(span, (i + 1) * chunk);
+    int64_t lo = std::min<int64_t>(span, i * chunk);
+    int64_t hi = std::min<int64_t>(span, (i + 1) * chunk);
+#ifdef SK_NL_SIMD
+    cnt[i] = nl_count_simd(data + lo, hi - lo);
+#else
+    const uint8_t* p = data + lo;
+    const uint8_t* e = data + hi;
     int64_t c = 0;
-    while (p < hi) {
+    while (p < e) {
       const uint8_t* q =
-          static_cast<const uint8_t*>(memchr(p, '\n', hi - p));
+          static_cast<const uint8_t*>(memchr(p, '\n', e - p));
       if (!q) break;
       c++;
       p = q + 1;
     }
     cnt[i] = c;
+#endif
   });
   std::vector<int64_t> off(t + 1, 0);
   for (int i = 0; i < t; i++) off[i + 1] = off[i] + cnt[i];
@@ -92,15 +139,21 @@ int64_t index_newlines(const uint8_t* data, int64_t span, int64_t cap,
   run_tasks(t, [&](int i) {
     int64_t at = off[i];
     if (at >= cap) return;
-    const uint8_t* p = data + std::min<int64_t>(span, i * chunk);
-    const uint8_t* hi = data + std::min<int64_t>(span, (i + 1) * chunk);
+    int64_t lo = std::min<int64_t>(span, i * chunk);
+    int64_t hi = std::min<int64_t>(span, (i + 1) * chunk);
     int64_t stop = std::min(off[i + 1], cap);
+#ifdef SK_NL_SIMD
+    nl_index_simd(data + lo, hi - lo, stop - at, base + lo, idx + at);
+#else
+    const uint8_t* p = data + lo;
+    const uint8_t* e = data + hi;
     while (at < stop) {
       const uint8_t* q =
-          static_cast<const uint8_t*>(memchr(p, '\n', hi - p));
+          static_cast<const uint8_t*>(memchr(p, '\n', e - p));
       idx[at++] = base + (q - data);
       p = q + 1;
     }
+#endif
   });
   return total;
 }
@@ -115,8 +168,11 @@ void atomic_min64(std::atomic<int64_t>& a, int64_t v) {
 
 extern "C" {
 
-// Count '\n' bytes exactly (memchr loop; multi-GB/s).
+// Count '\n' bytes exactly (AVX-512 popcount when available; multi-GB/s).
 int64_t sk_count_newlines(const uint8_t* data, int64_t n) {
+#ifdef SK_NL_SIMD
+  return nl_count_simd(data, n);
+#else
   int64_t count = 0;
   const uint8_t* p = data;
   const uint8_t* end = data + n;
@@ -127,6 +183,7 @@ int64_t sk_count_newlines(const uint8_t* data, int64_t n) {
     p = q + 1;
   }
   return count;
+#endif
 }
 
 // Byte index of the k-th (1-based) '\n', or -1 if there are fewer than k.
@@ -280,7 +337,10 @@ int sk_parse_pack2(const uint8_t* data, int64_t n, int64_t max_records,
           memcpy(srow, data + starts4[4 * r + 1], seq_len);
           memset(srow + seq_len, 0, L - seq_len);
         }
-      } else if (!nul && memchr(data + starts4[4 * r + 3], 0, seq_len)) {
+      } else if (pack_rows == 0 && !nul &&
+                 memchr(data + starts4[4 * r + 3], 0, seq_len)) {
+        // pack_rows < 0: indexed HOST-BOUND chunk — lengths come from
+        // the line index, qual_clean is never consulted, skip the scan
         nul = true;
       }
       lengths[r] = seq_len;

@@ -528,7 +528,9 @@ def _pack_fastq_native(
             native.ptr(flags, ctypes.c_int64),
             native.N_THREADS,
             1 if need_seq else 0,
-            1 if pack_rows else 0,
+            # -1: no rows AND no qual NUL scan — an indexed chunk is
+            # host-bound by construction, so qual_clean is never read
+            1 if pack_rows else -1,
             1 if at_eof else 0,
         )
         if rc == 0:
@@ -580,7 +582,7 @@ def _pack_fastq_native(
         positions=(start_position + 1 + np.arange(n)).astype(np.int32),
         n_records=n,
         workspace=ws,
-        qual_clean=int(flags[0]) & 1 == 0,
+        qual_clean=bool(pack_rows) and int(flags[0]) & 1 == 0,
         rows_packed=pack_rows,
     )
 
