@@ -475,9 +475,9 @@ def _device_scan_rate(src, params, cfg, warm_chunk):
     import numpy as np
     from jax import lax
 
-    from sickle_tpu.io.fastq import pack_fastq, qual_bitplanes
+    from sickle_tpu.io.fastq import pack_fastq, qual_fields
     from sickle_tpu.ops.trim import (compute_cuts, compute_cuts_from_q,
-                                     decode_planes)
+                                     decode_fields)
     from sickle_tpu.ops.trim_pallas import compute_cuts_pallas
 
     packed = pack_fastq(warm_chunk, batch_multiple=1 << 14, need_seq=False)
@@ -485,58 +485,52 @@ def _device_scan_rate(src, params, cfg, warm_chunk):
     L = packed.qual.shape[1]
     q0 = jax.device_put(packed.qual)  # 2.5 MB wire; tiled on device below
     lens_small = jax.device_put(packed.lengths.astype(np.int32))
-    # the engine's ACTUAL headline device program is the planes step:
-    # bit-plane decode + derive-lengths + cuts (uniform window)
-    from sickle_tpu.io.fastq import qual_minmax
+    # the engine's ACTUAL headline device program is the field-wire step:
+    # subfield decode + derive-lengths + cuts (uniform window)
+    from sickle_tpu.io.fastq import QUAL_PLANES, qual_minmax
 
     mn, _ = qual_minmax(packed.qual)
     bias = mn - 1
-    planes0 = jax.device_put(qual_bitplanes(packed.qual, bias))
+    fields0 = jax.device_put(qual_fields(packed.qual, bias))
     offset = 33  # sanger fixture
 
-    def make_run(kernel, K, planes_input=False):
+    def make_run(kernel, K):
         @jax.jit
         def run(x_small, salt):
-            if planes_input:
-                x = jnp.tile(x_small, (1, reps, 1))
-                x = x.at[0, 0, 1].set((salt & 0x1f).astype(jnp.uint8))
-            else:
-                x = jnp.tile(x_small, (reps, 1))
-                x = x.at[0, 1].set((salt & 0x1f).astype(jnp.uint8) + 66)
+            x = jnp.tile(x_small, (reps, 1))
+            x = x.at[0, 1].set((salt & 0x1f).astype(jnp.uint8) + 66)
             lens = jnp.tile(lens_small, reps)
             def body(i, carry):
                 x, acc = carry
                 three = kernel(x, lens)
-                if planes_input:
-                    x = x.at[0, 0, 0].set((three[0] % 60).astype(jnp.uint8))
-                else:
-                    x = x.at[0, 0].set((three[0] % 60 + 33).astype(jnp.uint8))
+                x = x.at[0, 0].set((three[0] % 60 + 33).astype(jnp.uint8))
                 return x, acc + three.sum()
             return lax.fori_loop(0, K, body, (x, jnp.int32(0)))[1]
 
         return run
 
-    def planes_step(planes, lens_unused):
+    def fields_step(buf, lens_unused):
         # mirrors engine step_planes (uniform): decode + derive + cuts
-        v = decode_planes(planes)
-        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-        lengths = jnp.min(jnp.where(v == 0, lane, v.shape[1]), axis=1)
-        five, three = compute_cuts_from_q(v + (bias - offset), lengths,
-                                          params, uniform_len=150)
+        v = decode_fields(buf, QUAL_PLANES, L)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], L), 1)
+        lengths = jnp.min(jnp.where(v == 0, lane, L), axis=1)
+        five, three = compute_cuts_from_q(
+            v.astype(jnp.int32) + (bias - offset), lengths, params,
+            uniform_len=150)
         return three
 
     rows = packed.qual.shape[0] * reps
     rates = {}
     _salt = [12345]
-    for name, kernel, x0, pin in (
-        ("engine_planes", planes_step, planes0, True),
+    for name, kernel, x0 in (
+        ("engine_planes", fields_step, fields0),
         ("engine_raw",
          lambda q, l: compute_cuts(q, q, l, params, uniform_len=150)[1],
-         q0, False),
-        ("jnp", lambda q, l: compute_cuts(q, q, l, params)[1], q0, False),
+         q0),
+        ("jnp", lambda q, l: compute_cuts(q, q, l, params)[1], q0),
         ("pallas_uniform",
          lambda q, l: compute_cuts_pallas(q, q, l, params, tile_b=256,
-                                          uniform_len=150)[1], q0, False),
+                                          uniform_len=150)[1], q0),
     ):
         try:
             # marginal-cost chained timing with per-call unique salts
@@ -545,8 +539,8 @@ def _device_scan_rate(src, params, cfg, warm_chunk):
             # overheads + chip co-tenancy noise; per-iter =
             # (T(K2)-T(K1))/(K2-K1), min of 3)
             K1, K2 = 64, 256
-            r1 = make_run(kernel, K1, planes_input=pin)
-            r2 = make_run(kernel, K2, planes_input=pin)
+            r1 = make_run(kernel, K1)
+            r2 = make_run(kernel, K2)
             _salt[0] += 1
             jax.block_until_ready(r1(x0, jnp.int32(_salt[0])))  # compile
             _salt[0] += 1

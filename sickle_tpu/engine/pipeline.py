@@ -15,6 +15,7 @@ compiled executable.  Counters are exact and global (the reference's pe
 from __future__ import annotations
 
 import dataclasses
+import functools
 import io as _io
 import mmap as _mmap
 import os
@@ -38,9 +39,9 @@ from ..io.fastq import (
     assemble_records_at,
     pack_fastq,
     pack_fastq_stream,
-    qual_bitplanes,
+    qual_fields,
     qual_levels,
-    qual_rank_planes,
+    qual_rank_fields,
     record_out_sizes,
 )
 from ..oracle import (
@@ -575,7 +576,7 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
         apply_rank_lut,
         compute_cuts,
         compute_cuts_from_q,
-        decode_planes,
+        decode_fields,
     )
 
     if os.environ.get("SICKLE_TPU_KERNEL") == "pallas":
@@ -645,33 +646,35 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
             lengths = derive_lengths(qual)
             return encode(qual, qual, lengths, ul)  # seq unused
 
-        @jax.jit
-        def step_planes(planes, bias):
-            # bit-plane wire format (io.fastq.qual_bitplanes): adaptive
-            # plane count ships 1/8..6/8 of the raw u8 bytes, the
-            # binding cost when the byte-metered link throttles
-            # (PERF_NOTES.md).  The host levels gate proved every char
-            # in-range, so no bad-quality flag bits.
-            v = decode_planes(planes)  # int32[B, L]; v == 0 marks padding
-            L = v.shape[1]
-            lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        @functools.partial(jax.jit, static_argnames=("L",))
+        def step_planes(buf, bias, L):
+            # field wire format (io.fastq.qual_fields): the p-bit biased
+            # value ships as byte-aligned 4/2/1-bit subfields — p/8 of
+            # the raw u8 bytes (the binding cost when the byte-metered
+            # link throttles, PERF_NOTES.md) at ~3 decode passes instead
+            # of p.  The host levels gate proved every char in-range, so
+            # no bad-quality flag bits.
+            p = buf.shape[1] * 8 // L
+            v = decode_fields(buf, p, L)  # uint8[B, L]; 0 marks padding
+            lane = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], L), 1)
             lengths = jnp.min(jnp.where(v == 0, lane, L), axis=1)
-            five, three = compute_cuts_from_q(v + bias, lengths, params,
+            five, three = compute_cuts_from_q(v.astype(jnp.int32) + bias,
+                                              lengths, params,
                                               uniform_len=ul)
             return (three + 1) | ((five + 1) << 16)
 
-        @jax.jit
-        def step_planes_rank(planes, lut):
+        @functools.partial(jax.jit, static_argnames=("L",))
+        def step_planes_rank(buf, lut, L):
             # rank wire (dictionary encoding): v = 1 + rank of the char
             # in the chunk's <=7 distinct levels; lut maps rank ->
             # decoded quality.  Binned Illumina data ships
-            # ceil(log2(levels+1)) planes regardless of how wide the
-            # LEVEL BAND is — 3 planes = 57 B per 150 bp read.
-            v = decode_planes(planes)  # int32[B, L]; 0 marks padding
-            L = v.shape[1]
-            lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+            # ceil(log2(levels+1)) bits regardless of how wide the
+            # LEVEL BAND is — 3-bit ranks = 57 B per 150 bp read.
+            p = buf.shape[1] * 8 // L
+            v = decode_fields(buf, p, L)  # uint8[B, L]; 0 marks padding
+            lane = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], L), 1)
             lengths = jnp.min(jnp.where(v == 0, lane, L), axis=1)
-            q = apply_rank_lut(v, lut)
+            q = apply_rank_lut(v.astype(jnp.int32), lut)
             five, three = compute_cuts_from_q(q, lengths, params,
                                               uniform_len=ul)
             return (three + 1) | ((five + 1) << 16)
@@ -735,15 +738,17 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
                 if L % 8 == 0 and not no_planes:
                     for p in planes:
                         steps["planes"].lower(
-                            jax.ShapeDtypeStruct((p, rows, L // 8),
+                            jax.ShapeDtypeStruct((rows, p * L // 8),
                                                  _jnp.uint8),
-                            jax.ShapeDtypeStruct((), _jnp.int32)).compile()
+                            jax.ShapeDtypeStruct((), _jnp.int32),
+                            L=L).compile()
                     for p in ranks:
                         steps["rank"].lower(
-                            jax.ShapeDtypeStruct((p, rows, L // 8),
+                            jax.ShapeDtypeStruct((rows, p * L // 8),
                                                  _jnp.uint8),
                             jax.ShapeDtypeStruct((1 << p,),
-                                                 _jnp.int32)).compile()
+                                                 _jnp.int32),
+                            L=L).compile()
                 steps["q"].lower(
                     jax.ShapeDtypeStruct((rows, L), _jnp.uint8)).compile()
             if rows & (rows - 1):  # mesh-rounded SL: drop to pow2 ladder
@@ -787,9 +792,9 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
     def _wire_pieces(qual, plan):
         mode, arg, p = plan
         if mode == "rank":
-            return [qual_rank_planes(qual[i : i + n], arg, p)
+            return [qual_rank_fields(qual[i : i + n], arg, p)
                     for i, n in _pieces(qual.shape[0])]
-        return [qual_bitplanes(qual[i : i + n], arg, p)
+        return [qual_fields(qual[i : i + n], arg, p)
                 for i, n in _pieces(qual.shape[0])]
 
     def _pieces(B):
@@ -867,14 +872,16 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
                     np.stack([seq[i : i + n], qual[i : i + n]]))))
                 h2d += 2 * n * qual.shape[1]
             elif plan is not None:
-                planes = planes_list[k]
+                fields = planes_list[k]
                 if plan[0] == "rank":
-                    futs.append(steps["rank"](put3(planes), put0(lut)))
-                    h2d += planes.nbytes + lut.nbytes
+                    futs.append(steps["rank"](put2(fields), put0(lut),
+                                              L=qual.shape[1]))
+                    h2d += fields.nbytes + lut.nbytes
                 else:
                     futs.append(steps["planes"](
-                        put3(planes), put0(np.int32(plan[1] - enc_offset))))
-                    h2d += planes.nbytes + 4
+                        put2(fields), put0(np.int32(plan[1] - enc_offset)),
+                        L=qual.shape[1]))
+                    h2d += fields.nbytes + 4
             else:
                 futs.append(steps["q"](put2(qual[i : i + n])))
                 h2d += n * qual.shape[1]

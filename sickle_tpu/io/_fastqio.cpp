@@ -787,8 +787,9 @@ void sk_assemble(const uint8_t* data, int64_t k, const int64_t* name_start,
 int sk_qual_minmax(const uint8_t* qual, int64_t n, uint8_t* out_min,
                    uint8_t* out_max, int n_threads);
 
-int sk_bitplanes(const uint8_t* qual, int64_t B, int64_t L, uint8_t bias,
-                 int planes, uint8_t* out, int n_threads);
+int sk_fieldpack(const uint8_t* qual, int64_t B, int64_t L, uint8_t bias,
+                 const uint8_t* levels, int n_levels, int p, uint8_t* out,
+                 int n_threads);
 
 }  // extern "C"
 
@@ -836,66 +837,6 @@ static void minmax_body(int64_t lo, int64_t hi, void* vctx) {
   while (mx > cur && !c->mx.compare_exchange_weak(cur, mx)) {}
 }
 
-struct PlanesCtx {
-  const uint8_t* qual;
-  int64_t B, L, Lb;
-  uint8_t bias;
-  int planes;
-  uint8_t* out;
-};
-
-static void bitplanes_body(int64_t lo, int64_t hi, void* vctx) {
-  PlanesCtx* c = static_cast<PlanesCtx*>(vctx);
-  const int64_t L = c->L, Lb = c->Lb;
-#if defined(__SSE2__)
-  const __m128i vbias = _mm_set1_epi8(char(c->bias));
-  const __m128i hibit = _mm_set1_epi8(char(0x80));
-  for (int64_t b = lo; b < hi; b++) {
-    const uint8_t* row = c->qual + b * L;
-    for (int p = 0; p < c->planes; p++) {
-      uint8_t* o = c->out + (p * c->B + b) * Lb;
-      const int shift = 7 - p;
-      int64_t j = 0;
-      for (; j + 16 <= L; j += 16) {
-        __m128i x = _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + j));
-        // v = saturate(q - bias): padding NULs and any char < bias -> 0
-        __m128i v = _mm_subs_epu8(x, vbias);
-        // move bit p of each byte to bit 7; cross-byte bleed from the
-        // 16-bit shift can only land in bits <7 of the high byte, which
-        // the 0x80 mask kills (bit k' of the low byte reaches lane bit
-        // k'+shift <= 14 < 15)
-        __m128i t = _mm_and_si128(_mm_slli_epi16(v, shift), hibit);
-        int m = _mm_movemask_epi8(t);
-        o[j >> 3] = uint8_t(m & 0xff);
-        o[(j >> 3) + 1] = uint8_t(m >> 8);
-      }
-      if (j < L) {  // L % 16 == 8 tail (row length is an 8-multiple)
-        __m128i x = _mm_loadl_epi64(reinterpret_cast<const __m128i*>(row + j));
-        __m128i v = _mm_subs_epu8(x, vbias);
-        __m128i t = _mm_and_si128(_mm_slli_epi16(v, shift), hibit);
-        o[j >> 3] = uint8_t(_mm_movemask_epi8(t) & 0xff);
-      }
-    }
-  }
-#else
-  for (int64_t b = lo; b < hi; b++) {
-    const uint8_t* row = c->qual + b * L;
-    for (int p = 0; p < c->planes; p++) {
-      uint8_t* o = c->out + (p * c->B + b) * Lb;
-      for (int64_t j = 0; j < L; j += 8) {
-        uint8_t acc = 0;
-        for (int k = 0; k < 8 && j + k < L; k++) {
-          uint8_t q = row[j + k];
-          uint8_t v = q > c->bias ? uint8_t(q - c->bias) : uint8_t(0);
-          acc |= uint8_t(((v >> p) & 1) << k);
-        }
-        o[j >> 3] = acc;
-      }
-    }
-  }
-#endif
-}
-
 struct LevelsCtx {
   const uint8_t* p;
   std::atomic<uint64_t> seen[4];  // 256-bit presence bitmap
@@ -913,77 +854,152 @@ static void levels_body(int64_t lo, int64_t hi, void* vctx) {
   }
 }
 
-struct RankPlanesCtx {
+// --- field wire: byte-aligned subfield packing -------------------------
+//
+// Binary decomposition of the p-bit biased value into byte-aligned
+// subfields of width 4, 2, 1 (p = 6 -> 4+2, p = 3 -> 2+1, ...): SAME
+// wire bytes as p bit-planes (p*L/8 per row) but the device decode is
+// one lane-repeat + shift + mask per FIELD instead of per BIT — ~3x
+// fewer decode passes for the common 6-bit band (ops/trim.decode_fields
+// is the inverse).  Output layout per row: the fields back to back,
+// widest first, each field packing 8/width values per byte LSB-first;
+// the widest field carries v's LOWEST bits.
+struct FieldPackCtx {
   const uint8_t* qual;
-  int64_t B, L, Lb;
-  const uint8_t* levels;  // ascending, nonzero
+  int64_t B, L, nb;       // nb = p*L/8: output row stride
+  uint8_t bias;           // band mode (n_levels == 0): v = sat(q - bias)
+  const uint8_t* levels;  // rank mode: v = 1 + rank(q) over these levels
   int n_levels;
-  int planes;
+  int p;
   uint8_t* out;
 };
 
-static void rankplanes_body(int64_t lo, int64_t hi, void* vctx) {
-  RankPlanesCtx* c = static_cast<RankPlanesCtx*>(vctx);
-  const int64_t L = c->L, Lb = c->Lb;
-#if defined(__SSE2__)
-  __m128i thr[8];
-  for (int k = 0; k < c->n_levels; k++) {
-    thr[k] = _mm_set1_epi8(char(c->levels[k]));
+struct FieldDef {
+  int w;        // field width in bits (4, 2 or 1)
+  int shift;    // v bit offset this field carries
+  int64_t col;  // byte column offset in the output row
+};
+
+static int field_defs(int p, int64_t L, FieldDef* F) {
+  int n = 0, sh = 0;
+  int64_t col = 0;
+  for (int wd : {4, 2, 1}) {
+    if (p - sh >= wd) {
+      F[n++] = {wd, sh, col};
+      sh += wd;
+      col += L * wd / 8;
+    }
   }
-  const __m128i hibit = _mm_set1_epi8(char(0x80));
+  return n;
+}
+
+static void fieldpack_body(int64_t lo, int64_t hi, void* vctx) {
+  FieldPackCtx* c = static_cast<FieldPackCtx*>(vctx);
+  const int64_t L = c->L;
+  FieldDef F[3];
+  const int nf = field_defs(c->p, L, F);
+  thread_local std::vector<uint8_t> scratch;
+  if ((int64_t)scratch.size() < L + 64) scratch.resize(L + 64, 0);
+  uint8_t* v = scratch.data();
   for (int64_t b = lo; b < hi; b++) {
     const uint8_t* row = c->qual + b * L;
     int64_t j = 0;
-    for (; j + 16 <= L; j += 16) {
-      __m128i x = _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + j));
-      // v = 1 + rank(x) = sum_k (x >= levels[k]); padding NULs -> 0.
-      // unsigned x >= t  <=>  max_epu8(x, t) == x
-      __m128i v = _mm_setzero_si128();
-      for (int k = 0; k < c->n_levels; k++) {
-        __m128i ge = _mm_cmpeq_epi8(_mm_max_epu8(x, thr[k]), x);
-        v = _mm_sub_epi8(v, ge);  // ge is 0xFF == -1 per lane
+#if defined(__SSE2__)
+    if (c->n_levels == 0) {
+      const __m128i vbias = _mm_set1_epi8(char(c->bias));
+      for (; j + 16 <= L; j += 16) {
+        __m128i x =
+            _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + j));
+        _mm_storeu_si128(reinterpret_cast<__m128i*>(v + j),
+                         _mm_subs_epu8(x, vbias));
       }
-      for (int p = 0; p < c->planes; p++) {
-        uint8_t* o = c->out + (p * c->B + b) * Lb;
-        __m128i t = _mm_and_si128(_mm_slli_epi16(v, 7 - p), hibit);
-        int m = _mm_movemask_epi8(t);
-        o[j >> 3] = uint8_t(m & 0xff);
-        o[(j >> 3) + 1] = uint8_t(m >> 8);
-      }
-    }
-    if (j < L) {  // L % 16 == 8 tail
-      __m128i x = _mm_loadl_epi64(reinterpret_cast<const __m128i*>(row + j));
-      __m128i v = _mm_setzero_si128();
-      for (int k = 0; k < c->n_levels; k++) {
-        __m128i ge = _mm_cmpeq_epi8(_mm_max_epu8(x, thr[k]), x);
-        v = _mm_sub_epi8(v, ge);
-      }
-      for (int p = 0; p < c->planes; p++) {
-        uint8_t* o = c->out + (p * c->B + b) * Lb;
-        __m128i t = _mm_and_si128(_mm_slli_epi16(v, 7 - p), hibit);
-        o[j >> 3] = uint8_t(_mm_movemask_epi8(t) & 0xff);
+    } else {
+      __m128i thr[8];
+      for (int k = 0; k < c->n_levels; k++)
+        thr[k] = _mm_set1_epi8(char(c->levels[k]));
+      for (; j + 16 <= L; j += 16) {
+        __m128i x =
+            _mm_loadu_si128(reinterpret_cast<const __m128i*>(row + j));
+        __m128i r = _mm_setzero_si128();
+        for (int k = 0; k < c->n_levels; k++) {
+          __m128i ge = _mm_cmpeq_epi8(_mm_max_epu8(x, thr[k]), x);
+          r = _mm_sub_epi8(r, ge);  // v = 1 + rank; padding NULs -> 0
+        }
+        _mm_storeu_si128(reinterpret_cast<__m128i*>(v + j), r);
       }
     }
-  }
-#else
-  for (int64_t b = lo; b < hi; b++) {
-    const uint8_t* row = c->qual + b * L;
-    for (int64_t j = 0; j < L; j += 8) {
-      uint8_t v8[8] = {0};
-      for (int k = 0; k < 8 && j + k < L; k++) {
-        uint8_t q = row[j + k];
-        uint8_t v = 0;
-        for (int t = 0; t < c->n_levels; t++) v += (q >= c->levels[t]);
-        v8[k] = v;
-      }
-      for (int p = 0; p < c->planes; p++) {
-        uint8_t acc = 0;
-        for (int k = 0; k < 8; k++) acc |= uint8_t(((v8[k] >> p) & 1) << k);
-        c->out[(p * c->B + b) * Lb + (j >> 3)] = acc;
-      }
-    }
-  }
 #endif
+    for (; j < L; j++) {
+      uint8_t q = row[j];
+      if (c->n_levels == 0) {
+        v[j] = q > c->bias ? uint8_t(q - c->bias) : uint8_t(0);
+      } else {
+        uint8_t r = 0;
+        for (int k = 0; k < c->n_levels; k++) r += (q >= c->levels[k]);
+        v[j] = r;
+      }
+    }
+    for (int f = 0; f < nf; f++) {
+      const int w = F[f].w, sh = F[f].shift;
+      const uint8_t mask = uint8_t((1 << w) - 1);
+      uint8_t* o = c->out + b * c->nb + F[f].col;
+      int64_t i = 0, oi = 0;
+#if defined(__SSE2__)
+      const __m128i fmask = _mm_set1_epi8(char(mask));
+      const __m128i lob = _mm_set1_epi16(0x00FF);
+      auto fld = [&](int64_t at) {
+        __m128i x =
+            _mm_loadu_si128(reinterpret_cast<const __m128i*>(v + at));
+        if (sh) x = _mm_srli_epi16(x, sh);
+        return _mm_and_si128(x, fmask);
+      };
+      if (w == 4) {
+        for (; i + 32 <= L; i += 32, oi += 16) {
+          __m128i a = fld(i), bx = fld(i + 16);
+          // u16 lane = f0 + 256*f1 -> low byte f0 | f1<<4
+          a = _mm_and_si128(_mm_or_si128(a, _mm_srli_epi16(a, 4)), lob);
+          bx = _mm_and_si128(_mm_or_si128(bx, _mm_srli_epi16(bx, 4)), lob);
+          _mm_storeu_si128(reinterpret_cast<__m128i*>(o + oi),
+                           _mm_packus_epi16(a, bx));
+        }
+      } else if (w == 2) {
+        for (; i + 64 <= L; i += 64, oi += 16) {
+          __m128i t[4];
+          for (int k = 0; k < 4; k++) {
+            __m128i a = fld(i + 16 * k);
+            // pairs: f0 | f1<<2 in each u16's low byte
+            t[k] = _mm_and_si128(_mm_or_si128(a, _mm_srli_epi16(a, 6)), lob);
+          }
+          __m128i ab = _mm_packus_epi16(t[0], t[1]);
+          __m128i cd = _mm_packus_epi16(t[2], t[3]);
+          // pairs of 4-bit halves: g0 | g1<<4
+          ab = _mm_and_si128(_mm_or_si128(ab, _mm_srli_epi16(ab, 4)), lob);
+          cd = _mm_and_si128(_mm_or_si128(cd, _mm_srli_epi16(cd, 4)), lob);
+          _mm_storeu_si128(reinterpret_cast<__m128i*>(o + oi),
+                           _mm_packus_epi16(ab, cd));
+        }
+      } else {  // w == 1
+        const __m128i hibit = _mm_set1_epi8(char(0x80));
+        for (; i + 16 <= L; i += 16, oi += 2) {
+          __m128i a = fld(i);
+          __m128i t = _mm_and_si128(_mm_slli_epi16(a, 7), hibit);
+          int m = _mm_movemask_epi8(t);
+          o[oi] = uint8_t(m & 0xff);
+          o[oi + 1] = uint8_t(m >> 8);
+        }
+      }
+#endif
+      // scalar tail (L is an 8-multiple; covers L % 32/64 remainders)
+      const int per = 8 / w;
+      for (; i < L; i += per, oi++) {
+        uint8_t acc = 0;
+        for (int k = 0; k < per && i + k < L; k++) {
+          acc |= uint8_t(((v[i + k] >> sh) & mask) << (k * w));
+        }
+        o[oi] = acc;
+      }
+    }
+  }
 }
 
 }  // namespace
@@ -1012,19 +1028,6 @@ int sk_qual_levels(const uint8_t* qual, int64_t n, uint8_t* out_levels,
   return cnt;
 }
 
-// Rank-dictionary bit-plane pack: v = 1 + rank of q in `levels`
-// (ascending, n_levels <= 8; caller guarantees every nonzero byte is IN
-// `levels`), padding NULs stay 0, packed into `planes` LSB-first
-// bit-planes like sk_bitplanes.  L must be a multiple of 8.
-int sk_rankplanes(const uint8_t* qual, int64_t B, int64_t L,
-                  const uint8_t* levels, int n_levels, int planes,
-                  uint8_t* out, int n_threads) {
-  if (L % 8 || n_levels < 1 || n_levels > 8) return 1;
-  RankPlanesCtx ctx{qual, B, L, L / 8, levels, n_levels, planes, out};
-  parallel_for(B, n_threads, rankplanes_body, &ctx);
-  return 0;
-}
-
 // min (over nonzero bytes) / max (over all) of a packed qual matrix.
 // Returns 0; *out_min = 255 if every byte is zero.
 int sk_qual_minmax(const uint8_t* qual, int64_t n, uint8_t* out_min,
@@ -1037,14 +1040,15 @@ int sk_qual_minmax(const uint8_t* qual, int64_t n, uint8_t* out_min,
   return 0;
 }
 
-// Pack v = saturate(qual - bias) into `planes` LSB-first bit-planes:
-// out[p][b][j] bit i = bit p of v[b][8j+i].  L must be a multiple of 8;
-// caller guarantees max(qual) - bias < 2^planes (sk_qual_minmax).
-int sk_bitplanes(const uint8_t* qual, int64_t B, int64_t L, uint8_t bias,
-                 int planes, uint8_t* out, int n_threads) {
-  if (L % 8) return 1;
-  PlanesCtx ctx{qual, B, L, L / 8, bias, planes, out};
-  parallel_for(B, n_threads, bitplanes_body, &ctx);
+// Field-wire pack (see fieldpack_body): v = sat(q - bias), or the rank
+// code 1 + rank(q in levels) when n_levels > 0, split into byte-aligned
+// 4/2/1-bit subfields; out is [B, p*L/8].  L must be a multiple of 8.
+int sk_fieldpack(const uint8_t* qual, int64_t B, int64_t L, uint8_t bias,
+                 const uint8_t* levels, int n_levels, int p, uint8_t* out,
+                 int n_threads) {
+  if (L % 8 || p < 1 || p > 7 || n_levels > 8) return 1;
+  FieldPackCtx ctx{qual, B, L, p * L / 8, bias, levels, n_levels, p, out};
+  parallel_for(B, n_threads, fieldpack_body, &ctx);
   return 0;
 }
 

@@ -197,65 +197,87 @@ def qual_levels(qual: np.ndarray) -> np.ndarray:
     return vals[vals != 0]
 
 
-def qual_rank_planes(qual: np.ndarray, levels: np.ndarray,
-                     planes: int) -> np.ndarray:
-    """Rank-dictionary wire: each char ships as 1 + its rank in
-    ``levels`` (ascending distinct chunk values, <= 8), packed into
-    LSB-first bit-planes like :func:`qual_bitplanes`.  Binned-quality
-    data (modern Illumina: 4-8 levels spread over a wide band) drops
-    from 6 planes to ceil(log2(levels+1)) — e.g. NovaSeq's 4 levels ship
-    3 planes = 57 B per 150 bp read.  Device inverse: decode_planes then
-    a tiny static LUT (ops/trim.apply_rank_lut)."""
-    B, L = qual.shape
-    lib = native.get_lib()
-    levels = np.ascontiguousarray(levels, np.uint8)
-    if lib is not None and qual.flags.c_contiguous:
-        import ctypes
-
-        out = np.empty((planes, B, L // 8), np.uint8)
-        rc = lib.sk_rankplanes(
-            native.ptr(qual, ctypes.c_uint8), B, L,
-            native.ptr(levels, ctypes.c_uint8), levels.size, planes,
-            native.ptr(out, ctypes.c_uint8), native.N_THREADS)
-        if rc == 0:
-            return out
-    v = np.searchsorted(levels, qual.reshape(-1), side="right").astype(np.uint8)
-    v = v.reshape(B, L)  # 0 for padding NULs, 1 + rank for real chars
-    out = np.empty((planes, B, L // 8), np.uint8)
-    for p in range(planes):
-        out[p] = np.packbits((v >> p) & 1, axis=1, bitorder="little")
+def field_widths(p: int):
+    """Binary decomposition of a ``p``-bit value into byte-aligned
+    subfields: [(width, v-bit offset, byte column offset factor)] —
+    the field-wire layout contract shared by sk_fieldpack and
+    ops.trim.decode_fields.  Widest field first, carrying v's LOWEST
+    bits; column offsets are in bytes for a row of length L when
+    multiplied by L."""
+    out = []
+    sh = 0
+    col = 0.0
+    for w in (4, 2, 1):
+        if p - sh >= w:
+            out.append((w, sh, col))
+            sh += w
+            col += w / 8.0
     return out
 
 
-def qual_bitplanes(qual: np.ndarray, bias: int,
-                   planes: int = QUAL_PLANES) -> np.ndarray:
-    """Pack ``saturate(qual - bias)`` into LSB-first bit-planes.
+def _fields_numpy(v: np.ndarray, p: int) -> np.ndarray:
+    B, L = v.shape
+    out = np.empty((B, p * L // 8), np.uint8)
+    for w, sh, colf in field_widths(p):
+        col = int(colf * L)
+        f = (v >> sh) & ((1 << w) - 1)
+        if w == 4:
+            packed = f[:, 0::2] | (f[:, 1::2] << 4)
+        elif w == 2:
+            packed = (f[:, 0::4] | (f[:, 1::4] << 2) | (f[:, 2::4] << 4)
+                      | (f[:, 3::4] << 6))
+        else:
+            packed = np.packbits(f, axis=1, bitorder="little")
+        out[:, col:col + L * w // 8] = packed
+    return out
 
-    Returns ``uint8[planes, B, L // 8]``; ``out[p, b, j]`` bit ``i`` is
-    bit ``p`` of ``qual[b, 8j + i] - bias``.  Caller guarantees
-    ``max(qual) - bias < 2**planes`` (qual_minmax) and ``L % 8 == 0``.
-    This is the engine's H2D wire format on byte-metered links: 6 planes
-    ship 25% fewer bytes than raw u8 rows (see ops/trim.decode_planes
-    for the device-side inverse).
+
+def qual_fields(qual: np.ndarray, bias: int, p: int = QUAL_PLANES) -> np.ndarray:
+    """Field-wire pack of ``saturate(qual - bias)``: the p-bit value
+    split into byte-aligned 4/2/1-bit subfields (field_widths) — the
+    same ``p * L / 8`` wire bytes as ``p`` bit-planes but ~3x fewer
+    device decode ops (one repeat+shift+mask per FIELD, not per bit;
+    ops/trim.decode_fields is the inverse).  Returns uint8[B, p*L//8].
     """
     B, L = qual.shape
     lib = native.get_lib()
     if lib is not None and qual.flags.c_contiguous:
         import ctypes
 
-        out = np.empty((planes, B, L // 8), np.uint8)
-        rc = lib.sk_bitplanes(native.ptr(qual, ctypes.c_uint8), B, L,
-                              bias, planes, native.ptr(out, ctypes.c_uint8),
+        out = np.empty((B, p * L // 8), np.uint8)
+        rc = lib.sk_fieldpack(native.ptr(qual, ctypes.c_uint8), B, L, bias,
+                              ctypes.POINTER(ctypes.c_uint8)(), 0, p,
+                              native.ptr(out, ctypes.c_uint8),
                               native.N_THREADS)
         if rc == 0:
             return out
     v = qual.astype(np.int16) - bias
     np.clip(v, 0, None, out=v)
-    v = v.astype(np.uint8)
-    out = np.empty((planes, B, L // 8), np.uint8)
-    for p in range(planes):
-        out[p] = np.packbits((v >> p) & 1, axis=1, bitorder="little")
-    return out
+    return _fields_numpy(v.astype(np.uint8), p)
+
+
+def qual_rank_fields(qual: np.ndarray, levels: np.ndarray, p: int) -> np.ndarray:
+    """Field-wire pack of the rank code ``v = 1 + rank(qual in levels)``
+    (0 = padding NUL); binned Illumina ships 3-bit ranks as a 2-bit +
+    1-bit field pair.  Returns uint8[B, p*L//8]."""
+    B, L = qual.shape
+    levels = np.ascontiguousarray(levels, np.uint8)
+    lib = native.get_lib()
+    if lib is not None and qual.flags.c_contiguous:
+        import ctypes
+
+        out = np.empty((B, p * L // 8), np.uint8)
+        rc = lib.sk_fieldpack(native.ptr(qual, ctypes.c_uint8), B, L, 0,
+                              native.ptr(levels, ctypes.c_uint8),
+                              int(levels.size), p,
+                              native.ptr(out, ctypes.c_uint8),
+                              native.N_THREADS)
+        if rc == 0:
+            return out
+    v = np.zeros(qual.shape, np.uint8)
+    for lv in levels:
+        v += (qual >= lv).astype(np.uint8)
+    return _fields_numpy(v, p)
 
 
 def _clamp_bm(batch_multiple: int, n: int, L: int, batch_bytes: Optional[int]) -> int:

@@ -114,12 +114,9 @@ def get_lib():
         lib.sk_qual_minmax.argtypes = [pu8, i64, pu8, pu8, ctypes.c_int]
         lib.sk_qual_levels.restype = ctypes.c_int
         lib.sk_qual_levels.argtypes = [pu8, i64, pu8, ctypes.c_int]
-        lib.sk_rankplanes.restype = ctypes.c_int
-        lib.sk_rankplanes.argtypes = [pu8, i64, i64, pu8, ctypes.c_int,
-                                      ctypes.c_int, pu8, ctypes.c_int]
-        lib.sk_bitplanes.restype = ctypes.c_int
-        lib.sk_bitplanes.argtypes = [pu8, i64, i64, u8, ctypes.c_int, pu8,
-                                     ctypes.c_int]
+        lib.sk_fieldpack.restype = ctypes.c_int
+        lib.sk_fieldpack.argtypes = [pu8, i64, i64, u8, pu8, ctypes.c_int,
+                                     ctypes.c_int, pu8, ctypes.c_int]
         lib.sk_bgzf_scan.restype = i64
         lib.sk_bgzf_scan.argtypes = [pu8, i64, p64, p64, p64, i64]
         lib.sk_bgzf_inflate.restype = i64

@@ -1,11 +1,12 @@
-"""Bit-plane wire format tests (io.fastq.qual_bitplanes <-> ops.trim.decode_planes).
+"""Field-wire format tests (io.fastq.qual_fields <-> ops.trim.decode_fields).
 
-The TPU engine ships 6 LSB-first bit-planes of (qual - bias) instead of
-raw u8 rows when a chunk's quality chars fit a 6-bit band inside the
-encoding's range — 25% fewer H2D bytes on the byte-metered link.  These
-tests pin the round-trip exactly and prove the engine's output is
-byte-identical with the format on and off, including the fallbacks
-(out-of-range chars, NUL bytes, -n) where planes must NOT be used.
+The TPU engine ships the p-bit biased quality value as byte-aligned
+4/2/1-bit subfields instead of raw u8 rows when a chunk's quality chars
+fit a p<=6-bit band inside the encoding's range — p/8 of the H2D bytes
+on the byte-metered link at ~3 decode passes.  These tests pin the
+round-trip exactly and prove the engine's output is byte-identical with
+the format on and off, including the fallbacks (out-of-range chars, NUL
+bytes, -n) where the compressed wire must NOT be used.
 """
 
 import io
@@ -17,7 +18,7 @@ import pytest
 from sickle_tpu.constants import QualityType
 from sickle_tpu.engine import EngineConfig, run_se
 from sickle_tpu.engine.pipeline import _tpu_cuts_fn
-from sickle_tpu.io.fastq import QUAL_PLANES, qual_bitplanes, qual_minmax
+from sickle_tpu.io.fastq import QUAL_PLANES, qual_fields, qual_minmax
 from sickle_tpu.ops import TrimParams
 
 FIXTURE = "/root/reference/test/test.fastq"
@@ -34,10 +35,10 @@ def _random_qual(rng, B, L, lo=59, hi=105):
 
 
 @pytest.mark.parametrize("L", [8, 152, 160, 1000 + 8 - 1000 % 8])
-def test_bitplane_roundtrip(L):
+def test_field_roundtrip(L):
     import jax.numpy as jnp
 
-    from sickle_tpu.ops.trim import decode_planes
+    from sickle_tpu.ops.trim import decode_fields
 
     rng = np.random.default_rng(L)
     qual, _ = _random_qual(rng, 32, L)
@@ -46,26 +47,24 @@ def test_bitplane_roundtrip(L):
     assert mx == int(qual.max())
     bias = mn - 1
     assert mx - bias < (1 << QUAL_PLANES)
-    planes = qual_bitplanes(qual, bias)
-    assert planes.shape == (QUAL_PLANES, 32, L // 8)
-    v = np.asarray(decode_planes(jnp.asarray(planes)))
+    buf = qual_fields(qual, bias)
+    assert buf.shape == (32, QUAL_PLANES * L // 8)
+    v = np.asarray(decode_fields(jnp.asarray(buf), QUAL_PLANES, L))
     vref = np.where(qual > 0, qual.astype(np.int32) - bias, 0)
     np.testing.assert_array_equal(v, vref)
 
 
 def test_native_matches_numpy_fallback():
     from sickle_tpu.io import native
+    from sickle_tpu.io.fastq import _fields_numpy
 
     if native.get_lib() is None:
         pytest.skip("native lib unavailable")
     rng = np.random.default_rng(7)
     qual, _ = _random_qual(rng, 64, 152)
-    got = qual_bitplanes(qual, 58)
+    got = qual_fields(qual, 58)
     v = np.clip(qual.astype(np.int16) - 58, 0, None).astype(np.uint8)
-    want = np.empty_like(got)
-    for p in range(QUAL_PLANES):
-        want[p] = np.packbits((v >> p) & 1, axis=1, bitorder="little")
-    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got, _fields_numpy(v, QUAL_PLANES))
 
 
 def _run(params, data, no_planes, slice_rows=512):
@@ -174,22 +173,22 @@ def test_trunc_n_uses_seq_path_and_matches():
     assert c_p.total == 2500
 
 
-@pytest.mark.parametrize("p", [1, 2, 3, 4, 5, 6])
-def test_bitplane_roundtrip_adaptive_counts(p):
-    """Round-trip at every adaptive plane count (round-4: the wire ships
-    exactly ceil(log2(band)) planes — binned Illumina quals ship 2-3)."""
+@pytest.mark.parametrize("p", [1, 2, 3, 4, 5, 6, 7])
+def test_field_roundtrip_adaptive_counts(p):
+    """Round-trip at every adaptive bit width (the wire ships exactly
+    ceil(log2(band)) bits — binned Illumina quals ship 2-3)."""
     import jax.numpy as jnp
 
-    from sickle_tpu.ops.trim import decode_planes
+    from sickle_tpu.ops.trim import decode_fields
 
     rng = np.random.default_rng(p)
-    # chars 59 .. 59 + 2^p - 2 => v = q - 58 in [1, 2^p - 1]: fits p planes
+    # chars 59 .. 59 + 2^p - 2 => v = q - 58 in [1, 2^p - 1]: fits p bits
     lo, hi = 59, 59 + (1 << p) - 1
-    qual, _ = _random_qual(rng, 16, 64, lo=lo, hi=hi)
+    qual, _ = _random_qual(rng, 16, 64, lo=lo, hi=min(hi, 255))
     bias = 58
-    planes = qual_bitplanes(qual, bias, p)
-    assert planes.shape == (p, 16, 8)
-    v = np.asarray(decode_planes(jnp.asarray(planes)))
+    buf = qual_fields(qual, bias, p)
+    assert buf.shape == (16, p * 8)
+    v = np.asarray(decode_fields(jnp.asarray(buf), p, 64))
     vref = np.where(qual > 0, qual.astype(np.int32) - bias, 0)
     np.testing.assert_array_equal(v, vref)
 
@@ -219,14 +218,14 @@ def test_engine_adaptive_planes_on_binned_quals():
     assert h2d_p <= 3 * 128 * 104 // 8 + 32  # 3 planes + the 8-entry LUT
 
 
-def test_rank_planes_roundtrip():
+def test_rank_fields_roundtrip():
     """Host rank-encode (C++ and numpy fallback) -> device LUT decode
     recovers the exact decoded qualities."""
     import jax.numpy as jnp
 
     from sickle_tpu.io import native
-    from sickle_tpu.io.fastq import qual_levels, qual_rank_planes
-    from sickle_tpu.ops.trim import apply_rank_lut, decode_planes
+    from sickle_tpu.io.fastq import qual_levels, qual_rank_fields
+    from sickle_tpu.ops.trim import apply_rank_lut, decode_fields
 
     rng = np.random.default_rng(3)
     levels = np.array([35, 45, 56, 70], np.uint8)  # NovaSeq-style chars
@@ -236,14 +235,15 @@ def test_rank_planes_roundtrip():
     got_levels = qual_levels(qual)
     np.testing.assert_array_equal(got_levels, levels)
     p = 3  # ceil(log2(4+1))
-    planes = qual_rank_planes(qual, levels, p)
-    assert planes.shape == (p, 32, 8)
-    v = np.asarray(decode_planes(jnp.asarray(planes)))
+    buf = qual_rank_fields(qual, levels, p)
+    assert buf.shape == (32, p * 8)
+    v = np.asarray(decode_fields(jnp.asarray(buf), p, 64))
     vref = np.searchsorted(levels, qual.reshape(-1), side="right").reshape(32, 64)
     np.testing.assert_array_equal(v, vref)
     lut = np.zeros(1 << p, np.int32)
     lut[1:5] = levels.astype(np.int32) - 33
-    q = np.asarray(apply_rank_lut(jnp.asarray(v), jnp.asarray(lut)))
+    q = np.asarray(apply_rank_lut(jnp.asarray(v).astype(jnp.int32),
+                                  jnp.asarray(lut)))
     qref = np.where(qual > 0, qual.astype(np.int32) - 33, 0)
     np.testing.assert_array_equal(q, qref)
 
@@ -253,7 +253,7 @@ def test_rank_planes_roundtrip():
         real = nat.get_lib
         try:
             nat.get_lib = lambda: None
-            planes_np = qual_rank_planes(qual, levels, p)
+            buf_np = qual_rank_fields(qual, levels, p)
         finally:
             nat.get_lib = real
-        np.testing.assert_array_equal(planes_np, planes)
+        np.testing.assert_array_equal(buf_np, buf)

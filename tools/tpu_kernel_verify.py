@@ -181,34 +181,35 @@ def main(out_path: str = "PALLAS_TPU.json") -> int:
         except Exception as e:  # record, don't abort the artifact
             results[name] = {"error": str(e)[:300]}
 
-    # the ENGINE's actual headline device program: bit-plane decode +
+    # the ENGINE's actual headline device program: field-wire decode +
     # derive-lengths + uniform-window cuts (engine step_planes)
     try:
-        from sickle_tpu.io.fastq import qual_bitplanes, qual_minmax
-        from sickle_tpu.ops.trim import compute_cuts_from_q, decode_planes
+        from sickle_tpu.io.fastq import QUAL_PLANES, qual_fields, qual_minmax
+        from sickle_tpu.ops.trim import compute_cuts_from_q, decode_fields
 
         mn, _ = qual_minmax(small)
         bias = mn - 1
-        planes_dev = jax.device_put(qual_bitplanes(small, bias))
+        planes_dev = jax.device_put(qual_fields(small, bias))
 
-        def planes_step(planes):
-            v = decode_planes(planes)
-            lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-            lengths = jnp.min(jnp.where(v == 0, lane, v.shape[1]), axis=1)
+        def planes_step(buf):
+            v = decode_fields(buf, QUAL_PLANES, L)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], L), 1)
+            lengths = jnp.min(jnp.where(v == 0, lane, L), axis=1)
             five, three = compute_cuts_from_q(
-                v + (bias - 33), lengths, p, uniform_len=150)
+                v.astype(jnp.int32) + (bias - 33), lengths, p,
+                uniform_len=150)
             return five, three, three
 
         def make_p(K):
             @jax.jit
             def run(x, salt):
-                xx = jnp.tile(x, (1, reps, 1))
-                xx = xx.at[0, 0, 1].set((salt & 0x1f).astype(jnp.uint8))
+                xx = jnp.tile(x, (reps, 1))
+                xx = xx.at[0, 1].set((salt & 0x1f).astype(jnp.uint8))
 
                 def body(i, carry):
                     xx, acc = carry
                     five, three, _ = planes_step(xx)
-                    xx = xx.at[0, 0, 0].set((three[0] % 60).astype(jnp.uint8))
+                    xx = xx.at[0, 0].set((three[0] % 60).astype(jnp.uint8))
                     return xx, acc + three.sum() + five.sum()
 
                 return lax.fori_loop(0, K, body, (xx, jnp.int32(0)))[1]
@@ -236,7 +237,7 @@ def main(out_path: str = "PALLAS_TPU.json") -> int:
         entry = {
             "ms_per_64k_batch": round(per_iter * 1e3, 4),
             "gb_per_s": round(gbp, 1),
-            "note": "decode 6 bit-planes + derive lengths + uniform cuts",
+            "note": "decode field wire (4+2-bit subfields) + derive lengths + uniform cuts",
         }
         if gbp > 100:  # op-bound ceiling: the chained loop was elided
             entry["unreliable"] = "chained loop elided/cached rig-side"
