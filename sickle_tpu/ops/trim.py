@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -197,14 +198,31 @@ def compute_cuts_from_q(
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
     in_read = lane < lens[:, None]
 
+    # Narrow accumulator: the whole D-transform chain fits int16 when
+    # every IN-RANGE decoded q keeps |C| and t*L under the i16 ceiling —
+    # half the VPU register traffic of i32 on the op-bound TPU path.
+    # Exactness: for rows whose touched extent holds only in-range chars
+    # the sums are within bounds by the gate below; an OUT-OF-RANGE char
+    # can only wrap prefix values at lanes AFTER its position, and such
+    # a row either (a) was touched => flagged => host re-derives scalar
+    # cuts, or (b) untouched => every trigger/scan index the reductions
+    # select lies before the wrap point (first-index minima cannot be
+    # created by corrupt larger-index lanes), so its cuts are exact.
+    offset_, _, qmax_ = QUALITY_CONSTANTS[params.qualtype]
+    qcap = qmax_ - offset_
+    use16 = (L <= 255 and params.qual_threshold * L < 30000
+             and qcap * L < 30000 and params.qual_threshold >= 0
+             and not os.environ.get("SICKLE_TPU_NO_I16"))
+    acc = jnp.int16 if use16 else jnp.int32
+
     # Rolling sums via prefix-sum difference, expressed through the
     # transform D[j] = C[j] - t*j so that ``W[i] >= t*w <=> D[i+w] >= D[i]``
     # (C = exclusive prefix).
-    qv = jnp.where(in_read, q, 0)
-    csum = jnp.cumsum(qv, axis=1)
+    qv = jnp.where(in_read, q, 0).astype(acc)
+    csum = jnp.cumsum(qv, axis=1, dtype=acc)
     c_excl = csum - qv  # C[j] = sum q[0..j-1], j in [0, L)
-    d = c_excl - t * lane  # D[j]
-    d_last = (csum[:, L - 1] - t * L)[:, None]  # D[L]
+    d = c_excl - t.astype(acc) * lane.astype(acc)  # D[j]
+    d_last = (csum[:, L - 1] - jnp.array(L, acc) * t.astype(acc))[:, None]
 
     if uniform_len is not None:
         # static window size: int(0.1*len) == len // 10 (trim.cpp:8,30)
