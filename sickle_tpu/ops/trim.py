@@ -98,10 +98,35 @@ def decode_fields(buf: jnp.ndarray, p: int, L: int) -> jnp.ndarray:
     in io.fastq.field_widths).  Returns ``v`` as ``uint8[B, L]``; padding
     packs to all-zero fields so ``v == 0`` marks padding exactly.
 
-    One lane-repeat + shift + mask per FIELD (at most 3) instead of per
-    BIT (up to 6 with bit-planes): same wire bytes, ~3x fewer decode
-    passes on the op-bound VPU.  Stays uint8 end to end.
+    Returns small unsigned ints in an implementation-chosen dtype
+    (uint8 or int16) — callers widen/compare, never assume the dtype.
+
+    One lane-expansion + shift + mask per FIELD (at most 3) instead of
+    per BIT (up to 6 with bit-planes).  On TPU the lane expansion rides
+    the MXU: ``byte = sub @ R`` with a static 0/1 replication matrix
+    (bf16 exact for bytes, f32 accumulate) — measured 3.5x faster than
+    ``jnp.repeat`` (a lane-axis relayout) for the full decode+cuts
+    program on v5e (PALLAS_TPU_r05.json).  Other backends keep the
+    repeat formulation; both are bit-exact (verified on chip).
     """
+    if jax.default_backend() == "tpu":
+        v = None
+        for w, sh, colf in _field_widths(p):
+            col = int(colf * L)
+            per = 8 // w
+            sub = buf[:, col:col + L * w // 8]
+            rep_mat = (jax.lax.broadcasted_iota(jnp.int32, (sub.shape[1], L), 0)
+                       == jax.lax.broadcasted_iota(jnp.int32, (sub.shape[1], L), 1)
+                       // per).astype(jnp.bfloat16)
+            byte = jax.lax.dot_general(
+                sub.astype(jnp.bfloat16), rep_mat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int16)
+            lane = jax.lax.broadcasted_iota(jnp.int16, (buf.shape[0], L), 1)
+            shift = (lane % per).astype(jnp.int16) * w
+            f = (byte >> shift) & ((1 << w) - 1)
+            part = (f << sh) if sh else f
+            v = part if v is None else v | part
+        return v
     v = None
     for w, sh, colf in _field_widths(p):
         col = int(colf * L)
