@@ -9,10 +9,13 @@ extra_metrics carries the BASELINE.md north-star rows measured in the
 same process: pe pairs/s (two-file, 150 bp), BGZF-gzip-input reads/s,
 and the device scan rate in GB/s vs the v5e HBM roofline (~819 GB/s).
 
-Baselines (BASELINE.md, measured on the reference C++ pthreads build in
-this container): se ~300k reads/s; gzip-in ~400k reads/s (100k reads in
-~0.25 s); pe publishes no timing, so pairs/s uses the se equivalent rate
-(150k pairs/s) as the documented proxy.
+Baselines (BASELINE.md round-5 re-measurement of the reference C++
+pthreads build in this container, strongest clean run per row): se
+364,181 reads/s (2 threads), pe 262,203 pairs/s (1 thread — threads hurt
+the fork's pe), gzip-in 400,000 reads/s.  Each row also reports
+value_median / vs_baseline_median (the typical clean pass, not just the
+best-of-3) and inline_compiles (must be 0: all rows reuse the warmed
+executables).
 
 Methodology (round 3, after the round-2 962 s stall, VERDICT.md item 1):
 * zero-wire AOT warmup (lower().compile(), no device RPCs);
@@ -44,8 +47,12 @@ import sys
 import tempfile
 import time
 
-BASELINE_SE_READS_PER_S = 300_000.0
-BASELINE_PE_PAIRS_PER_S = 150_000.0  # proxy: se-equivalent rate (see above)
+# Strongest measured reference numbers on this host (BASELINE.md round-5
+# re-measurement: best clean run over 7, output-completeness-checked):
+# se = 2-thread best, pe = 1-thread best (threads HURT the fork's pe),
+# gzip-in keeps the survey session's stronger figure over today's 247k.
+BASELINE_SE_READS_PER_S = 364_181.0
+BASELINE_PE_PAIRS_PER_S = 262_203.0
 BASELINE_GZIP_READS_PER_S = 400_000.0
 HBM_ROOFLINE_GB_S = 819.0  # TPU v5e HBM bandwidth
 FIXTURE = "/root/reference/test/test.fastq"
@@ -53,6 +60,24 @@ FIXTURE_F = "/root/reference/test/test.f.fastq"
 FIXTURE_R = "/root/reference/test/test.r.fastq"
 
 _DEADLINE = time.time() + float(os.environ.get("SICKLE_BENCH_DEADLINE", "2700"))
+
+# XLA compile-event counter: every measured row must reuse the warmed
+# executables — one stray inline compile silently invalidates a row
+# (VERDICT r4 item 8).  measured_pass records the per-row delta.
+_COMPILES = {"n": 0}
+
+
+def _install_compile_counter():
+    try:
+        from jax._src import monitoring
+
+        def _on_event(event, **kw):
+            if "compile" in event:
+                _COMPILES["n"] += 1
+
+        monitoring.register_event_listener(_on_event)
+    except Exception:
+        pass
 
 
 def log(text):
@@ -74,6 +99,7 @@ def measured_pass(name, n_units, run, min_rate, make_cfg):
     from sickle_tpu.utils.metrics import Metrics
 
     attempts = []
+    compiles0 = _COMPILES["n"]
     for attempt in range(3):
         cfg = make_cfg()
         cfg.metrics = m = Metrics()
@@ -107,8 +133,14 @@ def measured_pass(name, n_units, run, min_rate, make_cfg):
         else:
             break
     best = max(attempts, key=lambda a: a["rate"])
+    clean = sorted(a["rate"] for a in attempts
+                   if not (a["stalled"] or a["slow"])) or \
+        sorted(a["rate"] for a in attempts)
     return {
         "value": best["rate"],
+        # median CLEAN pass: the honest "typical" number next to the best
+        # (container co-tenancy gives clean passes +-2x variance)
+        "value_median": clean[len(clean) // 2],
         "seconds": best["s"],
         "stalled": bool(best["stalled"] or best["slow"]),
         # True only when a CONTAMINATED pass forced a settle-and-retry
@@ -116,6 +148,8 @@ def measured_pass(name, n_units, run, min_rate, make_cfg):
         "retried": any(a["stalled"] or a["slow"] for a in attempts),
         "passes": [round(a["rate"]) for a in attempts],
         "median_chunk_device_ms": round(best["median_chunk_device_ms"], 2),
+        # >0: an executable compiled INSIDE a measured pass (warmup gap)
+        "inline_compiles": _COMPILES["n"] - compiles0,
     }
 
 
@@ -139,6 +173,8 @@ def main():
 
     log("initializing jax backend...")
     import jax  # noqa: F401
+
+    _install_compile_counter()
 
     if os.environ.get("SICKLE_TPU_PLATFORM"):
         # env JAX_PLATFORMS alone does not stick in this container (the
@@ -305,7 +341,11 @@ def main():
         extra["pe_pairs_per_s"] = {
             "value": round(pe["value"]), "unit": "pairs/s",
             "vs_baseline": round(pe["value"] / BASELINE_PE_PAIRS_PER_S, 2),
+            "value_median": round(pe["value_median"]),
+            "vs_baseline_median": round(
+                pe["value_median"] / BASELINE_PE_PAIRS_PER_S, 2),
             "stalled": pe["stalled"],
+            "inline_compiles": pe["inline_compiles"],
         }
 
         # --- gzip (BGZF) input reads/s ---
@@ -318,7 +358,11 @@ def main():
         extra["gzip_in_reads_per_s"] = {
             "value": round(gz["value"]), "unit": "reads/s",
             "vs_baseline": round(gz["value"] / BASELINE_GZIP_READS_PER_S, 2),
+            "value_median": round(gz["value_median"]),
+            "vs_baseline_median": round(
+                gz["value_median"] / BASELINE_GZIP_READS_PER_S, 2),
             "stalled": gz["stalled"],
+            "inline_compiles": gz["inline_compiles"],
         }
 
         # --- binned-qual se (rank wire: 4 levels -> 3 planes, 57 B/read)
@@ -339,9 +383,63 @@ def main():
         extra["binned_se_reads_per_s"] = {
             "value": round(bn["value"]), "unit": "reads/s",
             "vs_baseline": round(bn["value"] / BASELINE_SE_READS_PER_S, 2),
+            "value_median": round(bn["value_median"]),
+            "vs_baseline_median": round(
+                bn["value_median"] / BASELINE_SE_READS_PER_S, 2),
             "stalled": bn["stalled"],
-            "note": "NovaSeq-binned quals; rank wire ships 3 bit-planes",
+            "inline_compiles": bn["inline_compiles"],
+            "note": "NovaSeq-binned quals; rank wire ships 3-bit fields",
         }
+
+        # --- device-only end-to-end (VERDICT r4 item 3): the TPU on the
+        # critical path for EVERY chunk — no hybrid, no host fallback.
+        # On the tunneled link this is wire-bound (PERF_NOTES rig-limit
+        # table); the row records the observed rate + the saturation
+        # cross-check (bytes/read x observed rate = implied wire MB/s)
+        # and the sensed link regime, so "the device path is wire-bound,
+        # not slow" is checkable instead of archaeological.
+        dev_fn = getattr(cuts_fn, "device_fn", None)
+        if dev_fn is None and not hasattr(cuts_fn, "call_packed"):
+            dev_fn = cuts_fn  # non-hybrid backend: plain kernel fn
+        if dev_fn is not None and os.environ.get(
+                "SICKLE_BENCH_DEVICE_ROW", "1") != "0":
+            copies3 = int(os.environ.get("SICKLE_BENCH_COPIES3",
+                                         str(max(copies // 5, 1))))
+            n_reads_dev = copies3 * 2500
+            src_d = os.path.join(td, "bench_dev.fastq")
+            with open(src_d, "wb") as f:
+                for _ in range(copies3):
+                    f.write(fixture)
+            regime_ms = _probe_ms()
+
+            def run_dev(cfg):
+                with open(src_d, "rb") as fin, open(out_path, "wb") as fout:
+                    return run_se(fin, fout, params, cfg=cfg,
+                                  cuts_fn=dev_fn).total
+
+            dv = measured_pass("device-only", n_reads_dev, run_dev,
+                               10_000.0, make_cfg)
+            # field wire: 6-bit band x 152-byte rows = 114 B/read H2D
+            implied = dv["value"] * 114 / 1e6
+            extra["device_only_reads_per_s"] = {
+                "value": round(dv["value"]), "unit": "reads/s",
+                "vs_baseline": round(
+                    dv["value"] / BASELINE_SE_READS_PER_S, 2),
+                "value_median": round(dv["value_median"]),
+                "stalled": dv["stalled"],
+                "passes": dv["passes"],
+                "inline_compiles": dv["inline_compiles"],
+                "link_probe_ms_before": round(regime_ms, 1),
+                "link_regime": ("fast" if regime_ms < 5 else
+                                "throttle" if regime_ms < 80 else "penalty"),
+                "wire_saturation_check":
+                    f"{round(dv['value']):,} reads/s x 114 B/read = "
+                    f"{implied:.1f} MB/s implied wire rate (throttle "
+                    "regime sustains 33-57 MB/s; a match means the pass "
+                    "ran at wire speed, not device speed)",
+            }
+            log(f"device-only: {dv['value']:,.0f} reads/s "
+                f"(implied wire {implied:.1f} MB/s, probe {regime_ms:.1f} ms)")
 
         # --- device scan rate (GB/s vs HBM roofline) ---
         # chained device-resident timing (see _device_scan_rate): the
@@ -376,12 +474,16 @@ def main():
         "unit": "reads/s",
         "final": True,  # distinguishes from the preliminary tail line
         "vs_baseline": round(se_rate / BASELINE_SE_READS_PER_S, 2),
+        "value_median": round(se["value_median"]),
+        "vs_baseline_median": round(
+            se["value_median"] / BASELINE_SE_READS_PER_S, 2),
         "extra_metrics": dict(extra, se_detail={
             "seconds": round(se["seconds"], 3),
             "stalled": se["stalled"],
             "retried": se["retried"],
             "passes_reads_per_s": se["passes"],
             "median_chunk_device_ms": se["median_chunk_device_ms"],
+            "inline_compiles": se["inline_compiles"],
             "hybrid": {
                 "chunks_device": getattr(cuts_fn, "n_device", None),
                 "chunks_host": getattr(cuts_fn, "n_host", None),
@@ -407,6 +509,23 @@ def _write_binned(src, dst):
         lo, hi = starts[i], nl[i]
         data[lo:hi] = lut[data[lo:hi]]
     data.tofile(dst)
+
+
+def _probe_ms() -> float:
+    """One KB-scale jit round-trip, in ms — senses the link regime
+    (<5 fast RPC, 5-80 stable throttle, above = penalty box)."""
+    import jax
+    import numpy as np
+
+    if jax.default_backend() != "tpu":
+        return 0.0
+    probe = jax.jit(lambda x: (x + 1).sum())
+    small = np.random.default_rng(1).integers(0, 1 << 20, (128,),
+                                              dtype=np.int32)
+    jax.block_until_ready(probe(small))  # compile outside the timing
+    t0 = time.perf_counter()
+    jax.block_until_ready(probe(small + 1))
+    return (time.perf_counter() - t0) * 1e3
 
 
 def _settle_link(max_wait=None):
