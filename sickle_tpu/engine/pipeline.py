@@ -60,6 +60,47 @@ CutsFn = Callable[[np.ndarray, np.ndarray, np.ndarray], Tuple]
 _SENTINEL = object()
 
 
+def _plan_assemble_fast(out_stream, packed, five, three, compat):
+    """SE fused emit: one native call (sk_plan_assemble) does the
+    keep-filter, per-record sizes, prefix offsets, and record assembly
+    straight into the output mapping, reading the parse line index
+    in place — no numpy gathers, no intermediate arrays.
+
+    Returns ``(kept, bytes)`` or ``(None, 0)`` when the chunk/stream
+    can't take the fused path (no reserve protocol, no workspace index,
+    numpy fallback mode)."""
+    ws = packed.workspace
+    reserve = getattr(out_stream, "reserve", None)
+    lib = native.get_lib()
+    n = packed.n_records
+    if reserve is None or ws is None or lib is None or n == 0:
+        return (None, 0) if n else (0, 0)
+    import ctypes
+
+    starts4 = ws.starts4
+    lens4 = ws.lens4
+    # output bound: each record's emission never exceeds its source
+    # extent +1 (a rewritten '+' can outgrow an EMPTY comment line)
+    cap = int(starts4[4 * n - 1] + lens4[4 * n - 1] + 1 - starts4[0]) + n
+    buf, start = reserve(cap)
+    out_kept = np.zeros(1, np.int64)
+    five = np.ascontiguousarray(five, np.int32)
+    three = np.ascontiguousarray(three, np.int32)
+    total = lib.sk_plan_assemble(
+        native.ptr(packed.data, ctypes.c_uint8),
+        native.ptr(starts4, ctypes.c_int64),
+        native.ptr(lens4, ctypes.c_int32),
+        native.ptr(five, ctypes.c_int32),
+        native.ptr(three, ctypes.c_int32),
+        n, 1 if compat == Compat.V133 else 0,
+        native.ptr(buf[start:], ctypes.c_uint8),
+        native.ptr(out_kept, ctypes.c_int64),
+        native.N_THREADS,
+    )
+    out_stream.commit(int(total))
+    return int(out_kept[0]), int(total)
+
+
 def _emit_records(out_stream, data, fields, five, three, compat, qualtype,
                   outbuf, n_record_mask=None) -> int:
     """Assemble one chunk's (already filtered/ordered) records and emit
@@ -1316,20 +1357,26 @@ def run_se(
         packed, (five, three, first_bad) = item
         with _stage(mtr, "consume"):
             _check_quality(packed, first_bad, params)
-            keep = three >= 0
-            kept = int(keep.sum())
+            n = packed.n_records
+            kept, nbytes = _plan_assemble_fast(out_stream, packed, five,
+                                               three, cfg.compat)
+            if kept is None:
+                keep = three >= 0
+                kept = int(keep.sum())
+                nbytes = 0
+                if kept:
+                    idx = np.flatnonzero(keep)
+                    nbytes = _emit_records(
+                        out_stream, packed.data, _sel(packed, idx),
+                        five[idx].astype(np.int64),
+                        three[idx].astype(np.int64),
+                        cfg.compat, params.qualtype, outbuf,
+                    )
             counters.kept += kept
-            counters.discarded += packed.n_records - kept
-            counters.total += packed.n_records
-            if kept:
-                idx = np.flatnonzero(keep)
-                nbytes = _emit_records(
-                    out_stream, packed.data, _sel(packed, idx),
-                    five[idx].astype(np.int64), three[idx].astype(np.int64),
-                    cfg.compat, params.qualtype, outbuf,
-                )
-                if mtr is not None:
-                    mtr.add_out_bytes(nbytes)
+            counters.discarded += n - kept
+            counters.total += n
+            if mtr is not None:
+                mtr.add_out_bytes(nbytes)
             pipe.recycle(packed)
         if cfg.progress_cb is not None:
             cfg.progress_cb(counters)

@@ -1040,6 +1040,72 @@ int sk_qual_minmax(const uint8_t* qual, int64_t n, uint8_t* out_min,
   return 0;
 }
 
+// Fused keep-filter + size + prefix + emit for the se fast path: one
+// call replaces flatnonzero + six index gathers + out-size computation
+// + cumsum + sk_assemble.  Reads the parse line index (starts4/lens4)
+// directly — record r's lines are starts4[4r..4r+3] / lens4[..] — and
+// writes kept records (three[r] >= 0) back to back into `out` in input
+// order.  rewrite_comment=1 emits the upstream-1.33 bare '+'.  Returns
+// total bytes written; *out_kept = kept record count.  Caller sizes
+// `out` with the chunk's source byte count (output never exceeds input).
+int64_t sk_plan_assemble(const uint8_t* data, const int64_t* starts4,
+                         const int32_t* lens4, const int32_t* five,
+                         const int32_t* three, int64_t n,
+                         int rewrite_comment, uint8_t* out,
+                         int64_t* out_kept, int n_threads) {
+  int nt = std::max(1, n_threads);
+  if (n < 4096) nt = 1;
+  std::vector<int64_t> t_bytes(nt, 0), t_kept(nt, 0);
+  int64_t chunk = (n + nt - 1) / nt;
+  run_tasks(nt, [&](int ti) {
+    int64_t lo = ti * chunk, hi = std::min(n, lo + chunk);
+    int64_t bytes = 0, kept = 0;
+    for (int64_t r = lo; r < hi; r++) {
+      if (three[r] < 0) continue;
+      int64_t cut = three[r] - five[r];
+      int64_t com = rewrite_comment ? 1 : lens4[4 * r + 2];
+      bytes += lens4[4 * r] + 2 * cut + com + 4;
+      kept++;
+    }
+    t_bytes[ti] = bytes;
+    t_kept[ti] = kept;
+  });
+  std::vector<int64_t> base(nt + 1, 0);
+  int64_t kept_total = 0;
+  for (int ti = 0; ti < nt; ti++) {
+    base[ti + 1] = base[ti] + t_bytes[ti];
+    kept_total += t_kept[ti];
+  }
+  run_tasks(nt, [&](int ti) {
+    int64_t lo = ti * chunk, hi = std::min(n, lo + chunk);
+    uint8_t* o = out + base[ti];
+    for (int64_t r = lo; r < hi; r++) {
+      if (three[r] < 0) continue;
+      int32_t cut = three[r] - five[r];
+      int32_t nl = lens4[4 * r];
+      memcpy(o, data + starts4[4 * r], nl);
+      o += nl;
+      *o++ = '\n';
+      memcpy(o, data + starts4[4 * r + 1] + five[r], cut);
+      o += cut;
+      *o++ = '\n';
+      if (rewrite_comment) {
+        *o++ = '+';
+      } else {
+        int32_t cl = lens4[4 * r + 2];
+        memcpy(o, data + starts4[4 * r + 2], cl);
+        o += cl;
+      }
+      *o++ = '\n';
+      memcpy(o, data + starts4[4 * r + 3] + five[r], cut);
+      o += cut;
+      *o++ = '\n';
+    }
+  });
+  *out_kept = kept_total;
+  return base[nt];
+}
+
 // Field-wire pack (see fieldpack_body): v = sat(q - bias), or the rank
 // code 1 + rank(q in levels) when n_levels > 0, split into byte-aligned
 // 4/2/1-bit subfields; out is [B, p*L/8].  L must be a multiple of 8.

@@ -114,6 +114,9 @@ def get_lib():
         lib.sk_qual_minmax.argtypes = [pu8, i64, pu8, pu8, ctypes.c_int]
         lib.sk_qual_levels.restype = ctypes.c_int
         lib.sk_qual_levels.argtypes = [pu8, i64, pu8, ctypes.c_int]
+        lib.sk_plan_assemble.restype = i64
+        lib.sk_plan_assemble.argtypes = [pu8, p64, p32, p32, p32, i64,
+                                         ctypes.c_int, pu8, p64, ctypes.c_int]
         lib.sk_fieldpack.restype = ctypes.c_int
         lib.sk_fieldpack.argtypes = [pu8, i64, i64, u8, pu8, ctypes.c_int,
                                      ctypes.c_int, pu8, ctypes.c_int]
