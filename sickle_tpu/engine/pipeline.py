@@ -60,36 +60,59 @@ CutsFn = Callable[[np.ndarray, np.ndarray, np.ndarray], Tuple]
 _SENTINEL = object()
 
 
-def _plan_assemble_fast(out_stream, packed, five, three, compat):
-    """SE fused emit: one native call (sk_plan_assemble) does the
+def _idx_layout(packed):
+    """(starts4_view, lens4_view) when the chunk's field views are the
+    canonical stride-4 line-index layout sk_plan_assemble reads (base =
+    name_start, lines at +0..+3), else None.  True for every packer
+    product including _split_packed mate views; defensive for exotic
+    callers passing hand-built PackedReads."""
+    ns, nl = packed.name_start, packed.name_len
+    if (ns.base is not None and ns.strides == (32,)
+            and nl.strides == (16,) and ns.dtype == np.int64
+            and nl.dtype == np.int32):
+        return ns, nl
+    return None
+
+
+def _plan_assemble_fast(out_stream, packed, five, three, compat,
+                        three_mask=None):
+    """Fused emit: one native call (sk_plan_assemble) does the
     keep-filter, per-record sizes, prefix offsets, and record assembly
     straight into the output mapping, reading the parse line index
     in place — no numpy gathers, no intermediate arrays.
 
+    ``three_mask``: optional bool[n] — rows where it is False are
+    dropped (pe pair/single routing: the caller selects which records
+    this stream gets by masking, order preserved).
+
     Returns ``(kept, bytes)`` or ``(None, 0)`` when the chunk/stream
-    can't take the fused path (no reserve protocol, no workspace index,
-    numpy fallback mode)."""
-    ws = packed.workspace
+    can't take the fused path (no reserve protocol, no stride-4 index
+    layout, numpy fallback mode)."""
     reserve = getattr(out_stream, "reserve", None)
     lib = native.get_lib()
     n = packed.n_records
-    if reserve is None or ws is None or lib is None or n == 0:
+    idx = _idx_layout(packed) if n else None
+    if reserve is None or lib is None or n == 0 or idx is None:
         return (None, 0) if n else (0, 0)
     import ctypes
 
-    starts4 = ws.starts4
-    lens4 = ws.lens4
+    ns_view, nl_view = idx
+    three = np.ascontiguousarray(three, np.int32)
+    if three_mask is not None:
+        three = np.where(three_mask, three, -1).astype(np.int32)
+    five = np.ascontiguousarray(five, np.int32)
     # output bound: each record's emission never exceeds its source
-    # extent +1 (a rewritten '+' can outgrow an EMPTY comment line)
-    cap = int(starts4[4 * n - 1] + lens4[4 * n - 1] + 1 - starts4[0]) + n
+    # extent +1 (a rewritten '+' can outgrow an EMPTY comment line);
+    # the span end is the last record's qual line end (qual len == seq
+    # len == lengths[n-1] by validation)
+    cap = (int(packed.qual_start[n - 1]) + int(packed.lengths[n - 1]) + 1
+           - int(packed.name_start[0])) + n
     buf, start = reserve(cap)
     out_kept = np.zeros(1, np.int64)
-    five = np.ascontiguousarray(five, np.int32)
-    three = np.ascontiguousarray(three, np.int32)
+    s4 = ctypes.cast(ns_view.ctypes.data, ctypes.POINTER(ctypes.c_int64))
+    l4 = ctypes.cast(nl_view.ctypes.data, ctypes.POINTER(ctypes.c_int32))
     total = lib.sk_plan_assemble(
-        native.ptr(packed.data, ctypes.c_uint8),
-        native.ptr(starts4, ctypes.c_int64),
-        native.ptr(lens4, ctypes.c_int32),
+        native.ptr(packed.data, ctypes.c_uint8), s4, l4,
         native.ptr(five, ctypes.c_int32),
         native.ptr(three, ctypes.c_int32),
         n, 1 if compat == Compat.V133 else 0,
@@ -1945,25 +1968,35 @@ def _write_interleaved_chunk(
 
     both = p1 & p2
     if both.any():
-        kb = np.flatnonzero(both)
-        fields = _interleave_fields(
-            _sel(packed, idx1[kb]), _sel(packed, idx2[kb]), kb.size
-        )
-        fv = np.empty(2 * kb.size, np.int64)
-        tv = np.empty(2 * kb.size, np.int64)
-        fv[0::2], fv[1::2] = f1[kb], f2[kb]
-        tv[0::2], tv[1::2] = t1[kb], t2[kb]
-        _emit_records(out1, packed.data, fields, fv, tv, cfg.compat,
-                      params.qualtype, outbuf)
+        # fused fast path: both-pass pairs are the even/odd row pairs of
+        # the interleaved batch, selected by mask in record order
+        kf, _ = _plan_assemble_fast(out1, packed, five, three, cfg.compat,
+                                    three_mask=np.repeat(both, 2))
+        if kf is None:
+            kb = np.flatnonzero(both)
+            fields = _interleave_fields(
+                _sel(packed, idx1[kb]), _sel(packed, idx2[kb]), kb.size
+            )
+            fv = np.empty(2 * kb.size, np.int64)
+            tv = np.empty(2 * kb.size, np.int64)
+            fv[0::2], fv[1::2] = f1[kb], f2[kb]
+            tv[0::2], tv[1::2] = t1[kb], t2[kb]
+            _emit_records(out1, packed.data, fields, fv, tv, cfg.compat,
+                          params.qualtype, outbuf)
     single = p1 ^ p2
     if single.any() and singles_out is not None:
         ks = np.flatnonzero(single)
         take1 = p1[ks]
         rows = np.where(take1, idx1[ks], idx2[ks])
-        fv = np.where(take1, f1[ks], f2[ks])
-        tv = np.where(take1, t1[ks], t2[ks])
-        _emit_records(singles_out, packed.data, _sel(packed, rows), fv, tv,
-                      cfg.compat, params.qualtype, outbuf)
+        mask_s = np.zeros(n, bool)
+        mask_s[rows] = True
+        kf, _ = _plan_assemble_fast(singles_out, packed, five, three,
+                                    cfg.compat, three_mask=mask_s)
+        if kf is None:
+            fv = np.where(take1, f1[ks], f2[ks])
+            tv = np.where(take1, t1[ks], t2[ks])
+            _emit_records(singles_out, packed.data, _sel(packed, rows), fv,
+                          tv, cfg.compat, params.qualtype, outbuf)
 
 
 def _write_two_file_chunk(
@@ -1982,11 +2015,22 @@ def _write_two_file_chunk(
 
     both = p1 & p2
     if both.any():
-        kb = np.flatnonzero(both)
-        _emit_records(out1, p1k.data, _sel(p1k, kb), f1[kb], t1[kb],
-                      cfg.compat, params.qualtype, outbuf)
-        _emit_records(out2, p2k.data, _sel(p2k, kb), f2[kb], t2[kb],
-                      cfg.compat, params.qualtype, outbuf)
+        # fused fast path: mask-select the both-pass records in place
+        # (order preserved); numpy fallback for exotic layouts/sinks
+        k1, _ = _plan_assemble_fast(out1, p1k, f1, t1, cfg.compat,
+                                    three_mask=both)
+        k2, _ = _plan_assemble_fast(out2, p2k, f2, t2, cfg.compat,
+                                    three_mask=both)
+        kb = None
+        if k1 is None:
+            kb = np.flatnonzero(both)
+            _emit_records(out1, p1k.data, _sel(p1k, kb), f1[kb], t1[kb],
+                          cfg.compat, params.qualtype, outbuf)
+        if k2 is None:
+            if kb is None:
+                kb = np.flatnonzero(both)
+            _emit_records(out2, p2k.data, _sel(p2k, kb), f2[kb], t2[kb],
+                          cfg.compat, params.qualtype, outbuf)
     single = p1 ^ p2
     if single.any() and singles_out is not None:
         # singles come from either source file, in pair order
