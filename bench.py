@@ -186,7 +186,7 @@ def main():
     from sickle_tpu.constants import Compat, QualityType
     from sickle_tpu.engine import EngineConfig, run_pe, run_se
     from sickle_tpu.engine.pipeline import default_cuts_fn
-    from sickle_tpu.io.compression import BgzfWriter, open_input
+    from sickle_tpu.io.compression import BgzfWriter, open_input, open_output
     from sickle_tpu.ops import TrimParams
 
     import dataclasses
@@ -271,8 +271,12 @@ def main():
                     _np.full_like(L, 0x3FFFFFFF))
 
         t0 = time.perf_counter()
-        with open(src, "rb") as fin, open(out_path, "wb") as fout:
-            run_se(fin, fout, params, cfg=make_cfg(), cuts_fn=_host_cuts)
+        with open(src, "rb") as fin:
+            fout = open_output(out_path)
+            try:
+                run_se(fin, fout, params, cfg=make_cfg(), cuts_fn=_host_cuts)
+            finally:
+                fout.close()
         log(f"host warmup pass done in {time.perf_counter() - t0:.1f}s")
 
         # warm every input's pages (the secondary rows' files would
@@ -308,9 +312,13 @@ def main():
 
         # --- headline: se plain-file -> plain-file ---
         def run_headline(cfg):
-            with open(src, "rb") as fin, open(out_path, "wb") as fout:
-                return run_se(fin, fout, params, cfg=cfg,
-                              cuts_fn=cuts_fn).total
+            with open(src, "rb") as fin:
+                fout = open_output(out_path)
+                try:
+                    return run_se(fin, fout, params, cfg=cfg,
+                                  cuts_fn=cuts_fn).total
+                finally:
+                    fout.close()
 
         se = measured_pass("se", n_reads, run_headline, min_rate, make_cfg)
         se_rate = se["value"]
@@ -330,12 +338,16 @@ def main():
         so = os.path.join(td, "pes.fastq")
 
         def run_pe_row(cfg):
-            with open(src_f, "rb") as f1, open(src_r, "rb") as f2, \
-                    open(o1, "wb") as w1, open(o2, "wb") as w2, \
-                    open(so, "wb") as ws:
-                return run_pe(f1, f2, out1=w1, out2=w2, singles_out=ws,
-                              params=params, cfg=cfg,
-                              cuts_fn=cuts_fn).total // 2
+            with open(src_f, "rb") as f1, open(src_r, "rb") as f2:
+                w1, w2, ws = (open_output(o1), open_output(o2),
+                              open_output(so))
+                try:
+                    return run_pe(f1, f2, out1=w1, out2=w2, singles_out=ws,
+                                  params=params, cfg=cfg,
+                                  cuts_fn=cuts_fn).total // 2
+                finally:
+                    for w in (w1, w2, ws):
+                        w.close()
 
         pe = measured_pass("pe", n_pairs, run_pe_row, min_rate / 2, make_cfg)
         extra["pe_pairs_per_s"] = {
@@ -350,8 +362,13 @@ def main():
 
         # --- gzip (BGZF) input reads/s ---
         def run_gz(cfg):
-            with open_input(src_gz) as fin, open(out_path, "wb") as fout:
-                return run_se(fin, fout, params, cfg=cfg, cuts_fn=cuts_fn).total
+            with open_input(src_gz) as fin:
+                fout = open_output(out_path)
+                try:
+                    return run_se(fin, fout, params, cfg=cfg,
+                                  cuts_fn=cuts_fn).total
+                finally:
+                    fout.close()
 
         gz = measured_pass("gzip-in", n_reads_gz, run_gz, min_rate / 2,
                            make_cfg)
@@ -426,10 +443,13 @@ def main():
                 log(f"device-only: skipped (probe {regime_ms:.0f} ms)")
             else:
                 def run_dev(cfg):
-                    with open(src_d, "rb") as fin, \
-                            open(out_path, "wb") as fout:
-                        return run_se(fin, fout, params, cfg=cfg,
-                                      cuts_fn=dev_fn).total
+                    with open(src_d, "rb") as fin:
+                        fout = open_output(out_path)
+                        try:
+                            return run_se(fin, fout, params, cfg=cfg,
+                                          cuts_fn=dev_fn).total
+                        finally:
+                            fout.close()
 
                 dv = measured_pass("device-only", n_reads_dev, run_dev,
                                    10_000.0, make_cfg)

@@ -102,3 +102,24 @@ def test_cli_mmap_vs_buffered_identity(tmp_path, mode):
         subprocess.run(cmd, check=True, env=env, capture_output=True)
         outs[tag] = [f.read_bytes() for f in files]
     assert outs["mm"] == outs["buf"]
+
+
+def test_fused_emit_empty_comment_grows_output(tmp_path):
+    """V133 compat rewrites the comment line to '+': with EMPTY source
+    comments the output is LARGER than the input span — the fused
+    plan+assemble capacity bound must include the +1/record slack."""
+    recs = []
+    for i in range(5000):
+        recs.append(b"@r%d\nACGTACGTACGTACGTACGTACGT\n\n" % i
+                    + b"I" * 24 + b"\n")  # empty comment line
+    src = tmp_path / "empty_comment.fastq"
+    src.write_bytes(b"".join(recs))
+    out = tmp_path / "o.fastq"
+    env = dict(os.environ, SICKLE_TPU_PLATFORM="cpu")
+    subprocess.run([sys.executable, "-m", "sickle_tpu", "se", "-f", str(src),
+                    "-t", "sanger", "-q", "20", "--compat", "1.33",
+                    "-o", str(out), "--quiet"], check=True, env=env,
+                   capture_output=True)
+    got = out.read_bytes()
+    assert got.count(b"\n+\n") == 5000
+    assert len(got) == len(b"".join(recs)) + 5000  # +1 byte per record
