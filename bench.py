@@ -244,10 +244,14 @@ def main():
                 # band wire (6 planes: the fixture's 40-char band) at the
                 # run's uniform 150 bp; the binned row's fn compiles its
                 # rank-3 ladder separately (different TrimParams)
-                cuts_fn.warmup_aot(152, read_len=150)
+                # min_rows=32: the ragged-tail pow2 pieces go down to 32
+                # rows — every piece must hit a precompiled executable or
+                # a device-routed tail compiles inline mid-pass (the
+                # inline_compiles counter enforces this stays 0)
+                cuts_fn.warmup_aot(152, min_rows=32, read_len=150)
                 if hasattr(cuts_fn_binned, "warmup_aot"):
-                    cuts_fn_binned.warmup_aot(152, planes=(), ranks=(3,),
-                                              read_len=150)
+                    cuts_fn_binned.warmup_aot(152, min_rows=32, planes=(),
+                                              ranks=(3,), read_len=150)
                 aot_ok = True
             except Exception as e:
                 log(f"AOT warmup unavailable ({e}); falling back to mini run")
