@@ -134,6 +134,14 @@ class _BgzfSpan:
     streams block-parallel inflate windows (io/_fastqio.cpp), so a
     boundary probe costs one window and a record count costs one prefix
     pass — never a whole-file inflate per host.
+
+    Sharding-time cost scaling: ``records_before``/``offset_of_record``
+    inflate from offset 0 per boundary, so computing N shard boundaries
+    is O(N * file) of (block-parallel) inflate at STARTUP — fine at the
+    2-8 hosts this targets, noticeable by ~64.  The fix, if a fleet that
+    wide materializes, is one shared prefix pass caching per-block
+    newline counts in the block index (the scan is already blockwise);
+    the per-read path is unaffected either way.
     """
 
     CHUNK = 1 << 24
