@@ -501,7 +501,7 @@ def main():
                 "kernel": default_kernel,
                 "all_kernels_gb_per_s": {k: round(v, 1) for k, v in rates.items()},
                 "vs_baseline": round(gb_rate / HBM_ROOFLINE_GB_S, 3),
-                "note": "vs v5e HBM roofline; salted marginal-cost chained timing (PALLAS_TPU_r04 methodology)",
+                "note": "vs v5e HBM roofline; salted marginal-cost chained timing (PALLAS_TPU_r05 methodology)",
             }
             log(f"device scan: {gb_rate:.1f} GB/s "
                 f"({gb_rate / HBM_ROOFLINE_GB_S:.1%} of v5e HBM roofline)")
