@@ -366,19 +366,13 @@ def _open_resumable(path: str, gzip_out: bool = False):
         return BgzfWriter(path, resumable=True)
     if native.available() and not os.environ.get("SICKLE_TPU_NO_MMAP_OUT"):
         # MmapWriter supports the resume protocol (truncate/seek/tell)
-        # and gives checkpointed plain outputs the zero-copy emit path
-        import stat as _stat
-
+        # and gives checkpointed plain outputs the zero-copy emit path;
+        # existing content is KEPT (r+b semantics) for resume_outputs
         from .io.output import MmapWriter
 
-        try:
-            w = MmapWriter(path)
-            if _stat.S_ISREG(os.fstat(w._fd).st_mode):
-                return w
-            w._off = 0
-            w.close()
-        except OSError:
-            pass
+        w = MmapWriter.open_regular(path)
+        if w is not None:
+            return w
     try:
         return open(path, "r+b")
     except FileNotFoundError:

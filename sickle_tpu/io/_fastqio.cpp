@@ -326,7 +326,7 @@ int sk_parse_pack2(const uint8_t* data, int64_t n, int64_t max_records,
         continue;
       }
       if (seq_len > mx) mx = seq_len;
-      if (pack_rows) {
+      if (pack_rows > 0) {  // -1 = indexed host-bound: no rows, no NUL scan
         if (seq_len > L) continue;  // undersized row buffer; caller retries
         uint8_t* qrow = qual + r * L;
         memcpy(qrow, data + starts4[4 * r + 3], seq_len);
@@ -355,7 +355,7 @@ int sk_parse_pack2(const uint8_t* data, int64_t n, int64_t max_records,
     *err_record = err.load();
     return 1;
   }
-  if (pack_rows && max_len > L) return 2;
+  if (pack_rows > 0 && max_len > L) return 2;
   *out_flags = has_nul.load() ? 1 : 0;
   return 0;
 }

@@ -381,14 +381,9 @@ def open_output(path: PathLike, gzip_output: bool = False) -> BinaryIO:
         # zero-copy emission: the engine assembles records straight into
         # the output file's mapped pages (io.output.MmapWriter) — only
         # for regular files (mmap needs one; pipes/devices fall through)
-        try:
-            from .output import MmapWriter
+        from .output import MmapWriter
 
-            w = MmapWriter(path)
-            if stat.S_ISREG(os.fstat(w._fd).st_mode):
-                return w
-            w._off = 0
-            w.close()
-        except OSError:
-            pass
+        w = MmapWriter.open_regular(path, truncate=True)
+        if w is not None:
+            return w
     return open(path, "wb", buffering=1 << 20)

@@ -34,16 +34,49 @@ _MIN_CAP = 1 << 26  # 64 MB first mapping
 class MmapWriter:
     """Sequential file writer backed by a growable writable mapping."""
 
-    def __init__(self, path, initial_cap: int = _MIN_CAP):
+    def __init__(self, path, initial_cap: int = _MIN_CAP,
+                 truncate: bool = False):
         self.name = os.fspath(path)
         self._fd = os.open(self.name, os.O_RDWR | os.O_CREAT, 0o644)
         self._cap = 0  # mapped/truncated capacity
-        self._off = 0  # logical end of written data
+        self._off = 0  # current write position
+        self._end = 0  # logical file size (write high-water / truncate)
         self._mm: Optional[mmap.mmap] = None
         self._view: Optional[np.ndarray] = None
         self._old: list = []  # older mapping generations (kept alive)
         self._initial_cap = max(int(initial_cap), 1 << 16)
         self._closed = False
+        if truncate:
+            # 'wb' semantics: drop any prior content at OPEN, so a
+            # crashed run can never leave a mix of new and stale records
+            try:
+                os.ftruncate(self._fd, 0)
+            except OSError:
+                os.close(self._fd)  # non-regular path: don't leak the fd
+                raise
+
+    @classmethod
+    def open_regular(cls, path, truncate: bool = False):
+        """A writer for ``path`` if it is (or can be created as) a
+        REGULAR file, else None — pipes/devices can't be mapped.  The
+        shared probe for open_output and the CLI's resumable opener."""
+        import stat
+
+        try:
+            w = cls(path, truncate=truncate)
+        except OSError:
+            return None
+        try:
+            if stat.S_ISREG(os.fstat(w._fd).st_mode):
+                return w
+        except OSError:
+            pass
+        w._off = 0
+        try:
+            w.close()
+        except OSError:
+            pass
+        return None
 
     # --- fast path (engine) ------------------------------------------------
     def reserve(self, n: int) -> Tuple[np.ndarray, int]:
@@ -57,6 +90,8 @@ class MmapWriter:
 
     def commit(self, n: int) -> None:
         self._off += int(n)
+        if self._off > self._end:
+            self._end = self._off
 
     def _grow(self, need: int) -> None:
         new_cap = max(self._cap * 2, need, self._initial_cap)
@@ -81,10 +116,10 @@ class MmapWriter:
         return self._off
 
     def seek(self, pos: int, whence: int = os.SEEK_SET) -> int:
-        if whence == os.SEEK_END:
+        if whence == os.SEEK_CUR:
             pos = self._off + pos
-        elif whence == os.SEEK_CUR:
-            pos = self._off + pos
+        elif whence == os.SEEK_END:
+            pos = self._end + pos
         self._off = int(pos)
         return self._off
 
@@ -92,11 +127,12 @@ class MmapWriter:
         size = self._off if size is None else int(size)
         if size > self._cap:
             self._grow(size)
-        elif size < self._off:
+        elif size < self._end:
             # zero the abandoned tail so a later shorter run can't expose
             # stale bytes between ``size`` and a prior high-water mark
             if self._view is not None:
-                self._view[size:self._off] = 0
+                self._view[size:self._end] = 0
+        self._end = size
         self._off = min(self._off, size)
         return size
 
@@ -124,8 +160,11 @@ class MmapWriter:
             except BufferError:
                 pass
             self._mm = None
-        os.ftruncate(self._fd, self._off)
-        os.close(self._fd)
+        try:
+            os.ftruncate(self._fd, self._end)
+        finally:
+            os.close(self._fd)  # never leak the fd (ftruncate can EINVAL
+            #                     on the non-regular-file probe path)
 
     def __enter__(self):
         return self

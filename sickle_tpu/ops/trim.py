@@ -142,15 +142,12 @@ def decode_fields(buf: jnp.ndarray, p: int, L: int) -> jnp.ndarray:
 
 
 def _field_widths(p: int):
-    out = []
-    sh = 0
-    col = 0.0
-    for w in (4, 2, 1):
-        if p - sh >= w:
-            out.append((w, sh, col))
-            sh += w
-            col += w / 8.0
-    return out
+    # the single source of truth for the wire layout lives next to the
+    # host packer; importing here is cycle-safe (io.fastq never imports
+    # ops) and keeps decoder and packer from desynchronizing
+    from ..io.fastq import field_widths
+
+    return field_widths(p)
 
 
 def apply_rank_lut(v: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
