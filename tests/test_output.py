@@ -123,3 +123,28 @@ def test_fused_emit_empty_comment_grows_output(tmp_path):
     got = out.read_bytes()
     assert got.count(b"\n+\n") == 5000
     assert len(got) == len(b"".join(recs)) + 5000  # +1 byte per record
+
+
+def test_truncate_at_open_and_seek_end(tmp_path):
+    p = tmp_path / "o.bin"
+    p.write_bytes(b"STALE" * 100)
+    from sickle_tpu.io.output import MmapWriter as MW
+
+    w = MW(p, initial_cap=1 << 12, truncate=True)
+    w.write(b"new")
+    assert w.seek(0, os.SEEK_END) == 3  # logical size, not stale size
+    w.seek(1)
+    assert w.seek(0, os.SEEK_END) == 3  # survives a backward seek
+    w.close()
+    assert p.read_bytes() == b"new"
+
+
+def test_open_regular_rejects_devices_without_fd_leak():
+    import resource
+
+    from sickle_tpu.io.output import MmapWriter as MW
+
+    n_before = len(os.listdir("/proc/self/fd"))
+    for _ in range(20):
+        assert MW.open_regular("/dev/null", truncate=True) is None
+    assert len(os.listdir("/proc/self/fd")) <= n_before + 1
