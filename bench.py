@@ -394,6 +394,14 @@ def main():
         # q=20 (the tool default): with the 4 binned levels {2,12,23,37}
         # this trims real 5'/3' extents and writes real output (q=60
         # would discard every read — a dishonestly cheap pass)
+        # re-warm the binned corpus' pages right before measuring: it is
+        # written during routing warmup and the earlier rows' I/O can
+        # evict it (two rehearsals each paid a deterministic ~11 s
+        # disk-read pass 0 here)
+        with open(src_b, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
         def run_binned(cfg):
             with open(src_b, "rb") as fin, open(out_path, "wb") as fout:
                 return run_se(fin, fout, params_binned, cfg=cfg,
