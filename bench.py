@@ -165,7 +165,7 @@ def main():
     # almost exactly (pe pads both mates into one pow2 batch), so the
     # extra records ride padding that would ship anyway
     copies2 = int(os.environ.get("SICKLE_BENCH_COPIES2", str(max(copies // 2, 1))))
-    # 64k-row slices: ~7.3 MB H2D each on the bit-plane wire — fewer
+    # 64k-row slices: ~7.3 MB H2D each on the field wire — fewer
     # synchronizing RPCs to fine in the throttle regime, still well under
     # the fast window's 10MB-in-6ms envelope (PERF_NOTES.md)
     rpc = int(os.environ.get("SICKLE_BENCH_RPC", str(1 << 16)))

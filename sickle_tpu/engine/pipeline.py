@@ -167,7 +167,7 @@ def _adapt_cuts_fn(fn: CutsFn) -> Callable:
 
     ``qual_clean=True`` tells backend-aware fns the packer proved the
     zero-padding invariant (PackedReads.qual_clean), skipping any rescan;
-    ``wire`` carries producer-thread-prepared wire payloads (bit-planes).
+    ``wire`` carries producer-thread-prepared wire payloads (field wire).
     Plain 3-arg fns (tests, custom backends) are wrapped to ignore both.
     """
     import inspect
@@ -214,7 +214,7 @@ def _need_rows_fn(cuts_fn):
 
 def _gated_prep(cuts_fn):
     """Producer-thread wire prep, gated by the fn's routing hint: hybrid
-    fns skip the (expensive) bit-plane prep for chunks that will take the
+    fns skip the (expensive) field-wire prep for chunks that will take the
     host kernel anyway (wire_useful); device probes build their own wire
     on the device worker."""
     prep = getattr(cuts_fn, "prepare", None)
@@ -783,7 +783,7 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
         ``min_rows``: ragged final chunks are pow2-padded by the packer
         (_clamp_bm) and dispatched as pow2 tail pieces, so the measured
         pass never compiles inline.  On the qual-only path the raw-row
-        format plus every requested bit-plane count is compiled (the
+        format plus every requested wire bit width is compiled (the
         plane count is per-chunk data-dependent — pass the counts the
         run's data can produce; a miss compiles inline, locally).
         ``read_len``: the run's uniform read length — the engine will
@@ -874,7 +874,7 @@ def _tpu_cuts_fn(params: TrimParams, slice_rows: int = 4096,
             i += n
 
     def prepare(packed):
-        """Producer-thread wire prep: pack the chunk's bit-planes OFF the
+        """Producer-thread wire prep: pack the chunk's wire fields OFF the
         dispatch thread (overlaps the previous chunk's device RPCs).
         Stores (plan, [per-piece planes]) on ``packed.wire``."""
         qual = packed.qual
@@ -1366,7 +1366,7 @@ def run_se(
                 result = cuts_fn(packed.seq, packed.qual, packed.lengths,
                                  qual_clean=packed.qual_clean,
                                  wire=packed.wire)
-        if mtr is not None:  # actual wire bytes (e.g. bit-plane format)
+        if mtr is not None:  # actual wire bytes (e.g. field-wire format)
             mtr.h2d_bytes[-1] = getattr(cuts_fn, "last_h2d", h2d)
         return packed, result
 
@@ -1750,7 +1750,7 @@ def run_pe(
                 h2d = getattr(cuts_fn, "last_h2d", pk1.qual.nbytes * mul)
                 r2 = call(pk2)
                 h2d += getattr(cuts_fn, "last_h2d", pk2.qual.nbytes * mul)
-            if mtr is not None:  # actual wire bytes (e.g. bit-plane format)
+            if mtr is not None:  # actual wire bytes (e.g. field-wire format)
                 mtr.h2d_bytes[-1] = h2d
             return packed, n1, (r1, r2)
         with _stage(mtr, "dispatch", packed.qual.nbytes * mul):

@@ -774,7 +774,7 @@ void sk_assemble(const uint8_t* data, int64_t k, const int64_t* name_start,
   parallel_for(k, n_threads, assemble_body, &ctx);
 }
 
-// --- quality wire compression: bit-plane packing -----------------------
+// --- quality wire compression: field packing ---------------------------
 //
 // The tunneled-TPU link meters cumulative H2D BYTES (PERF_NOTES.md), so
 // the qual matrix's wire size is the end-to-end throughput cap whenever
@@ -1011,7 +1011,7 @@ extern "C" {
 // and returns the count (zero bytes are row padding and excluded).
 // One pass replaces the min/max scan AND enables the rank wire: when a
 // chunk has <= 7 distinct quality levels (binned Illumina), chars ship
-// as dictionary ranks in ceil(log2(levels+1)) bit-planes instead of the
+// as dictionary ranks in ceil(log2(levels+1)) wire bits instead of the
 // band width's 6.
 int sk_qual_levels(const uint8_t* qual, int64_t n, uint8_t* out_levels,
                    int n_threads) {

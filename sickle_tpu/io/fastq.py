@@ -88,7 +88,7 @@ class PackedReads:
     # invariant the TPU path needs to derive lengths on device.
     qual_clean: bool = False
     # producer-thread-prepared wire payload (engine cuts_fn.prepare):
-    # (bias, [per-slice bit-plane arrays]) or None for raw rows
+    # (plan, [per-slice field-wire buffers]) or None for raw rows
     wire: Optional[tuple] = None
     # False when the seq/qual row matrices were deliberately NOT filled
     # (indexed host-cuts mode reads records straight from ``data`` via

@@ -126,7 +126,7 @@ def test_nul_in_quality_still_errors():
 
 
 def test_mesh_path_uses_planes_and_matches():
-    # --devices N inherits the bit-plane wire (VERDICT r2 item 4's
+    # --devices N inherits the field wire (VERDICT r2 item 4's
     # discipline-parity requirement extends to the compressed format):
     # byte-identity vs single-device, and fewer wire bytes than raw rows
     import jax
