@@ -493,6 +493,63 @@ static inline bool cut_read_simd(const uint8_t* q, const uint8_t* s,
   const int64_t te64 = (int64_t)c->t + c->qoffset;
   const int32_t te = te64 < 0 ? 0 : (te64 > 256 ? 256 : (int32_t)te64);
 
+  // all-high early-out: every char >= te means W[0] already triggers 5'
+  // (five = 0) and no window can trigger 3' (three = len) — the common
+  // case at the default q=20 on healthy reads skips the whole prefix
+  // machinery.  One cmp+movemask sweep doubles as the range check's
+  // lower bound when te >= qmin.
+  if (te >= 1 && te <= 255 && !c->no_fiveprime) {
+    const __m128i tev = _mm_set1_epi8(char(uint8_t(te)));
+    bool all_hi = true;
+    int32_t j = 0;
+    for (; j + 16 <= len && all_hi; j += 16) {
+      __m128i qv = _mm_loadu_si128(reinterpret_cast<const __m128i*>(q + j));
+      // unsigned q >= te  <=>  max_epu8(q, te) == q
+      __m128i ge = _mm_cmpeq_epi8(_mm_max_epu8(qv, tev), qv);
+      if ((uint32_t)_mm_movemask_epi8(ge) != 0xFFFFu) all_hi = false;
+    }
+    for (; j < len && all_hi; j++) {
+      if (q[j] < te) all_hi = false;
+    }
+    if (all_hi) {
+      // range check over the whole read (extent == len here)
+      const __m128i qminv2 = _mm_set1_epi8(char(uint8_t(c->qmin)));
+      const __m128i qmaxv2 = _mm_set1_epi8(char(uint8_t(c->qmax)));
+      const __m128i z2 = _mm_setzero_si128();
+      for (int32_t k = 0; k < len; k += 16) {
+        __m128i qv =
+            _mm_loadu_si128(reinterpret_cast<const __m128i*>(q + k));
+        __m128i ok = _mm_and_si128(
+            _mm_cmpeq_epi8(_mm_subs_epu8(qminv2, qv), z2),
+            _mm_cmpeq_epi8(_mm_subs_epu8(qv, qmaxv2), z2));
+        uint32_t m = ~(uint32_t)_mm_movemask_epi8(ok) & 0xFFFFu;
+        if (len - k < 16) m &= ((uint32_t)1 << (len - k)) - 1;
+        if (m) {
+          *out_bad = k + (int32_t)__builtin_ctz(m);
+          break;
+        }
+      }
+      if (c->trunc_n && s) {
+        const void* pa = memchr(s, c->n_lower_first ? 'n' : 'N', len);
+        const void* pb = memchr(s, c->n_lower_first ? 'N' : 'n', len);
+        const void* p2 = pa ? pa : pb;
+        int32_t three0 = len;
+        if (p2) three0 = (int32_t)((const uint8_t*)p2 - s) - 1;
+        if (three0 < c->lthr) {  // five == 0
+          *out_five = -1;
+          *out_three = -1;
+        } else {
+          *out_five = 0;
+          *out_three = three0;
+        }
+        return true;
+      }
+      *out_five = 0;
+      *out_three = len;  // len >= lthr was checked by the caller
+      return true;
+    }
+  }
+
   alignas(16) uint16_t P[256 + 16];
   P[0] = 0;
   __m128i carry = _mm_setzero_si128();
